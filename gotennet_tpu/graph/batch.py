@@ -1,0 +1,93 @@
+"""Static-shape padded graph batches.
+
+XLA traces and compiles once per shape, so molecular graphs are packed
+into fixed-capacity buffers: ``num_nodes`` node slots, ``num_edges``
+edge slots and ``num_graphs`` graph slots.  Padding is tracked with
+masks; every aggregation in the model multiplies by the mask before a
+segment reduction so padded slots contribute exact zeros.
+
+This replaces the dynamic PyG ``Data``/``Batch`` objects used by the
+reference (concatenated graphs + ``batch`` id vector, see
+/root/reference/gotennet/datamodules/datamodule.py:209-215).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+__all__ = ["GraphBatch", "pad_sizes_for"]
+
+
+@struct.dataclass
+class GraphBatch:
+    """A fixed-capacity batch of molecular graphs.
+
+    Shapes (all static):
+      - ``N`` node capacity, ``E`` edge capacity, ``G`` graph capacity.
+
+    Attributes:
+        z: ``[N] int32`` atomic numbers; ``0`` marks a padded node.
+        pos: ``[N, 3]`` Cartesian coordinates (Angstrom).
+        node_graph: ``[N] int32`` graph id of each node; padded nodes
+            carry ``0`` and are masked out of every graph reduction.
+        edge_src: ``[E] int32`` source node ``j`` (the neighbor).
+        edge_dst: ``[E] int32`` destination node ``i`` (the center);
+            edges are sorted by ``edge_dst`` so segment reductions can
+            use ``indices_are_sorted=True``.
+        node_mask: ``[N] bool`` true for real nodes.
+        edge_mask: ``[E] bool`` true for real edges.
+        graph_mask: ``[G] bool`` true for real graphs.
+        y: ``[G, T]`` graph-level targets (zeros when absent).
+        dy: optional ``[N, 3]`` per-atom force targets (zeros when absent).
+    """
+
+    z: jnp.ndarray
+    pos: jnp.ndarray
+    node_graph: jnp.ndarray
+    edge_src: jnp.ndarray
+    edge_dst: jnp.ndarray
+    node_mask: jnp.ndarray
+    edge_mask: jnp.ndarray
+    graph_mask: jnp.ndarray
+    y: jnp.ndarray
+    dy: Optional[jnp.ndarray] = None
+
+    @property
+    def num_nodes(self) -> int:
+        return self.z.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.edge_src.shape[0]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.graph_mask.shape[0]
+
+    @property
+    def n_real_graphs(self) -> jnp.ndarray:
+        return jnp.sum(self.graph_mask.astype(jnp.int32))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_sizes_for(
+    n_nodes: Sequence[int],
+    n_edges: Sequence[int],
+    node_multiple: int = 8,
+    edge_multiple: int = 128,
+    slack: float = 1.0,
+) -> Tuple[int, int]:
+    """Pick (node, edge) capacities for a batch, rounded to TPU-friendly
+    multiples (sublane 8 for nodes, lane 128 for edges) so recompilation
+    is bounded to a handful of buckets.
+    """
+    n = max(1, int(np.ceil(sum(n_nodes) * slack)))
+    e = max(1, int(np.ceil(sum(n_edges) * slack)))
+    return _round_up(n, node_multiple), _round_up(e, edge_multiple)

@@ -1,0 +1,123 @@
+"""Masked segment reductions and segment softmax.
+
+TPU-native replacements for ``torch_scatter.scatter`` and
+``torch_geometric.utils.softmax`` (reference call sites:
+/root/reference/gotennet/models/representation/gotennet.py:503,638-639,
+986).  All functions take explicit masks so fixed-capacity padded edge
+lists produce exact zeros for dead slots, and accept
+``indices_are_sorted`` because the batcher emits edges sorted by
+destination node (enables XLA's fast sorted-segment path).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["segment_sum", "segment_mean", "segment_max", "segment_softmax"]
+
+# Matches PyG softmax's denominator guard (torch_geometric/utils/softmax.py).
+_SOFTMAX_EPS = 1e-16
+
+
+def _apply_mask(data: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if mask is None:
+        return data
+    m = mask
+    while m.ndim < data.ndim:
+        m = m[..., None]
+    return jnp.where(m, data, jnp.zeros_like(data))
+
+
+def segment_sum(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """Sum ``data`` rows into ``num_segments`` buckets by ``segment_ids``."""
+    data = _apply_mask(data, mask)
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+
+
+def segment_mean(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """Mean-reduce rows per segment; empty segments yield zeros."""
+    total = segment_sum(data, segment_ids, num_segments, mask,
+                        indices_are_sorted)
+    if mask is None:
+        ones = jnp.ones(data.shape[0], dtype=data.dtype)
+    else:
+        ones = mask.astype(data.dtype)
+    counts = jax.ops.segment_sum(
+        ones, segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+    counts = jnp.maximum(counts, 1)
+    while counts.ndim < total.ndim:
+        counts = counts[..., None]
+    return total / counts
+
+
+def segment_max(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = False,
+    neutral: Optional[float] = None,
+) -> jnp.ndarray:
+    """Max-reduce rows per segment; masked/empty slots give ``neutral``
+    (default: most-negative finite value of the dtype)."""
+    if neutral is None:
+        neutral = jnp.finfo(data.dtype).min if jnp.issubdtype(
+            data.dtype, jnp.floating) else jnp.iinfo(data.dtype).min
+    if mask is not None:
+        m = mask
+        while m.ndim < data.ndim:
+            m = m[..., None]
+        data = jnp.where(m, data, jnp.full_like(data, neutral))
+    return jax.ops.segment_max(
+        data, segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+
+
+def segment_softmax(
+    logits: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """Numerically-stable softmax over variable-size segments.
+
+    Equivalent to PyG's ``softmax(src, index)``: within every segment the
+    entries are shifted by the segment max, exponentiated, and divided by
+    the segment sum (+1e-16).  Masked entries come out exactly zero and
+    do not influence real entries.
+
+    ``logits`` may have trailing axes (e.g. ``[E, H, 1]`` for per-head
+    attention); the reduction runs over axis 0 only.
+    """
+    seg_max = segment_max(logits, segment_ids, num_segments, mask,
+                          indices_are_sorted)
+    # Dead segments keep dtype-min; stop that from polluting exp below.
+    seg_max = jnp.maximum(seg_max, jnp.finfo(logits.dtype).min / 2)
+    shifted = logits - seg_max[segment_ids]
+    expd = jnp.exp(shifted)
+    expd = _apply_mask(expd, mask)
+    denom = segment_sum(expd, segment_ids, num_segments, None,
+                        indices_are_sorted)
+    return expd / (denom[segment_ids] + _SOFTMAX_EPS)
