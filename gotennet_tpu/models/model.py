@@ -1,0 +1,122 @@
+"""Combined property-prediction model: representation + output head(s),
+with forces via ``jax.grad`` through atomic positions.
+
+Capability equivalent of the reference's LightningModule forward path
+(/root/reference/gotennet/models/goten_model.py:276-409) re-shaped for
+JAX: the model is a pure function of ``(params, batch)``; the force
+path wraps the energy in ``jax.value_and_grad`` w.r.t. ``batch.pos``
+(the reference calls torch autograd inside the head,
+outputs.py:365-375).  Everything composes under ``jit``/``grad`` —
+force training is plain grad-of-grad.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as fnn
+
+from gotennet_tpu.graph.batch import GraphBatch
+from gotennet_tpu.models.gotennet import GotenNet, GotenNetConfig
+from gotennet_tpu.models.heads import (
+    Atomwise,
+    Dipole,
+    ElectronicSpatialExtent,
+)
+
+__all__ = ["HeadConfig", "GotenModel", "apply_with_forces"]
+
+
+@dataclasses.dataclass(frozen=True)
+class HeadConfig:
+    """Output-head selection and standardization metadata.
+
+    ``kind``: 'atomwise' | 'dipole' | 'electronic_spatial_extent'.
+    ``derivative``: if True the task layer also returns
+    ``forces = -dE/dpos`` (sign flipped unless ``negative_dr`` False).
+    """
+
+    kind: str = "atomwise"
+    n_out: int = 1
+    n_hidden: Optional[int] = None
+    n_layers: int = 2
+    activation: Any = "silu"
+    mean: float = 0.0
+    stddev: float = 1.0
+    atomref: Optional[np.ndarray] = None
+    aggregation: Optional[str] = "sum"
+    derivative: bool = False
+    negative_dr: bool = True
+
+    def __hash__(self):  # atomref array is identity-hashed
+        return hash((self.kind, self.n_out, self.n_hidden, self.n_layers,
+                     str(self.activation), self.mean, self.stddev,
+                     id(self.atomref), self.aggregation, self.derivative,
+                     self.negative_dr))
+
+
+class GotenModel(fnn.Module):
+    """Representation + one output head -> result dict.
+
+    Returns at least ``{'property': [G, n_out]}`` plus head-specific
+    extras; also exposes the raw ``(h, X)`` under ``representation`` /
+    ``vector_representation`` like the reference batch attributes.
+    """
+
+    cfg: GotenNetConfig
+    head: HeadConfig
+
+    @fnn.compact
+    def __call__(self, batch: GraphBatch,
+                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        h, X = GotenNet(self.cfg, name="representation").from_batch(
+            batch, deterministic=deterministic)
+        hc = self.head
+        if hc.kind == "atomwise":
+            out = Atomwise(
+                n_in=self.cfg.n_atom_basis, n_out=hc.n_out,
+                n_layers=hc.n_layers, n_hidden=hc.n_hidden,
+                activation=hc.activation, aggregation=hc.aggregation,
+                mean=hc.mean, stddev=hc.stddev, atomref=hc.atomref,
+                name="head")(batch, h, X)
+        elif hc.kind == "dipole":
+            out = Dipole(
+                n_in=self.cfg.n_atom_basis, n_hidden=hc.n_hidden,
+                activation=hc.activation, predict_magnitude=True,
+                mean=hc.mean, stddev=hc.stddev, name="head")(batch, h, X)
+        elif hc.kind == "electronic_spatial_extent":
+            out = ElectronicSpatialExtent(
+                n_in=self.cfg.n_atom_basis, n_layers=hc.n_layers,
+                n_hidden=hc.n_hidden, activation=hc.activation,
+                name="head")(batch, h, X)
+        else:
+            raise ValueError(f"Unknown head kind {hc.kind!r}")
+        out["representation"] = h
+        out["vector_representation"] = X
+        return out
+
+
+def apply_with_forces(model: GotenModel, params, batch: GraphBatch,
+                      deterministic: bool = True,
+                      rngs=None) -> Dict[str, jnp.ndarray]:
+    """Run the model and add ``forces = -dE/dpos`` when the head asks
+    for derivatives.  The edge list is static; distances/vectors are
+    recomputed from ``pos`` inside the model, so the gradient is exact
+    (same contract as the reference's autograd path)."""
+    if not model.head.derivative:
+        return model.apply(params, batch, deterministic=deterministic,
+                           rngs=rngs)
+
+    def energy_fn(pos):
+        out = model.apply(params, batch.replace(pos=pos),
+                          deterministic=deterministic, rngs=rngs)
+        return jnp.sum(out["property"]), out
+
+    (_, out), dy = jax.value_and_grad(energy_fn, has_aux=True)(batch.pos)
+    sign = -1.0 if model.head.negative_dr else 1.0
+    out["forces"] = sign * dy * batch.node_mask[:, None]
+    return out
