@@ -1,0 +1,220 @@
+"""In-memory molecular datasets + loaders emitting static-shape batches.
+
+Replaces the reference's PyG dataset / torch DataLoader stack
+(/root/reference/gotennet/datamodules/) with a NumPy pipeline: molecules
+live as ragged arrays on host, a ``BatchLoader`` shuffles, packs them
+into fixed-capacity ``GraphBatch`` buffers (bucketed so XLA compiles a
+handful of shapes), and hands devices a steady stream of identical
+pytrees.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from gotennet_tpu.graph.batch import GraphBatch
+from gotennet_tpu.graph.neighborlist import build_edges_np, collate_graphs
+
+__all__ = ["MoleculeDataset", "BatchLoader", "make_splits",
+           "synthetic_molecules", "standardize_energy"]
+
+
+@dataclasses.dataclass
+class MoleculeDataset:
+    """Ragged molecule storage: lists of per-molecule arrays."""
+
+    z: List[np.ndarray]          # [M_i] int
+    pos: List[np.ndarray]        # [M_i, 3] float
+    y: Optional[np.ndarray] = None   # [n, T] graph targets
+    dy: Optional[List[np.ndarray]] = None  # [M_i, 3] forces
+    atomref: Optional[np.ndarray] = None   # [max_z, 1]
+
+    def __len__(self) -> int:
+        return len(self.z)
+
+    def subset(self, idx: Sequence[int]) -> "MoleculeDataset":
+        idx = np.asarray(idx)
+        return MoleculeDataset(
+            z=[self.z[i] for i in idx],
+            pos=[self.pos[i] for i in idx],
+            y=self.y[idx] if self.y is not None else None,
+            dy=[self.dy[i] for i in idx] if self.dy is not None else None,
+            atomref=self.atomref,
+        )
+
+    def graph_dicts(self, idx: Sequence[int]) -> List[dict]:
+        out = []
+        for i in idx:
+            g = {"z": self.z[i], "pos": self.pos[i]}
+            if self.y is not None:
+                g["y"] = self.y[i]
+            if self.dy is not None:
+                g["dy"] = self.dy[i]
+            out.append(g)
+        return out
+
+
+def make_splits(n: int, train_size, val_size, test_size, seed: int,
+                save_path: Optional[str] = None,
+                splits_path: Optional[str] = None):
+    """Seeded permutation split; sizes may be int, float fraction, or
+    None (= remainder).  Mirrors the reference's make_splits
+    (/root/reference/gotennet/datamodules/components/utils.py:6-135),
+    including persisting/reloading ``splits.npz``."""
+    if splits_path is not None:
+        f = np.load(splits_path)
+        return f["idx_train"], f["idx_val"], f["idx_test"]
+
+    def resolve(size):
+        if size is None:
+            return None
+        if isinstance(size, float):
+            return int(round(size * n))
+        return int(size)
+
+    tr, va, te = resolve(train_size), resolve(val_size), resolve(test_size)
+    none_count = sum(x is None for x in (tr, va, te))
+    if none_count > 1:
+        raise ValueError("at most one of the split sizes may be None")
+    if tr is None:
+        tr = n - va - te
+    elif va is None:
+        va = n - tr - (te or 0)
+        if te is None:
+            raise ValueError("ambiguous: two None sizes")
+    if te is None:
+        te = n - tr - va
+    if tr + va + te > n:
+        raise ValueError(f"splits {tr}+{va}+{te} exceed dataset size {n}")
+
+    perm = np.random.default_rng(seed).permutation(n)
+    idx_train = perm[:tr]
+    idx_val = perm[tr:tr + va]
+    idx_test = perm[tr + va:tr + va + te]
+    if save_path is not None:
+        np.savez(save_path, idx_train=idx_train, idx_val=idx_val,
+                 idx_test=idx_test)
+    return idx_train, idx_val, idx_test
+
+
+def standardize_energy(ds: MoleculeDataset, idx: Sequence[int],
+                       label_col: int = 0,
+                       use_atomref: bool = True):
+    """Mean/std of the target over a split, minus per-molecule atomref
+    sums when available (reference _standardize,
+    datamodule.py:221-268)."""
+    ys = []
+    for i in idx:
+        y = float(ds.y[i, label_col])
+        if use_atomref and ds.atomref is not None:
+            y -= float(ds.atomref[ds.z[i], 0].sum())
+        ys.append(y)
+    ys = np.asarray(ys, np.float64)
+    return float(ys.mean()), float(ys.std(ddof=1))
+
+
+def synthetic_molecules(n: int, seed: int = 0, min_atoms: int = 6,
+                        max_atoms: int = 24, box: float = 4.0,
+                        with_forces: bool = False) -> MoleculeDataset:
+    """Random QM9-like molecules for tests and benchmarks: organic atom
+    types, positions spread so typical neighbor counts match a 5 A
+    cutoff, and a smooth synthetic target (sum of pair potentials) so
+    training has signal."""
+    rng = np.random.default_rng(seed)
+    zs, poss, ys, dys = [], [], [], []
+    types = np.asarray([1, 6, 7, 8, 9])
+    probs = np.asarray([0.5, 0.3, 0.1, 0.08, 0.02])
+    for _ in range(n):
+        m = int(rng.integers(min_atoms, max_atoms + 1))
+        z = rng.choice(types, size=m, p=probs).astype(np.int32)
+        pos = (rng.random((m, 3)) - 0.5) * box * (m / 12.0) ** (1 / 3)
+        # synthetic smooth energy: sum of Gaussian pair terms
+        diff = pos[:, None] - pos[None, :]
+        d2 = (diff ** 2).sum(-1)
+        w = z[:, None] * z[None, :]
+        np.fill_diagonal(d2, np.inf)
+        e = float((w * np.exp(-d2)).sum()) * 0.01
+        zs.append(z)
+        poss.append(pos.astype(np.float32))
+        ys.append([e])
+        if with_forces:
+            g = np.zeros_like(pos)
+            k = w[..., None] * np.exp(-d2)[..., None] * (-2.0 * diff)
+            g = 0.01 * 2.0 * np.nansum(
+                np.where(np.isfinite(d2)[..., None], k, 0.0), axis=1)
+            dys.append((-g).astype(np.float32))
+    return MoleculeDataset(
+        z=zs, pos=poss, y=np.asarray(ys, np.float32),
+        dy=dys if with_forces else None)
+
+
+class BatchLoader:
+    """Iterates fixed-capacity GraphBatches over a dataset split.
+
+    Capacities are derived once from the split's size statistics (with
+    slack) so every batch reuses the same compiled executable.  The
+    final short batch is padded with dummy graphs — masks keep the math
+    exact.
+    """
+
+    def __init__(self, ds: MoleculeDataset, batch_size: int,
+                 cutoff: float = 5.0, shuffle: bool = False, seed: int = 0,
+                 max_num_neighbors: int = 32, loop: bool = True,
+                 node_capacity: Optional[int] = None,
+                 edge_capacity: Optional[int] = None,
+                 drop_last: bool = False):
+        self.ds = ds
+        self.batch_size = batch_size
+        self.cutoff = cutoff
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.max_num_neighbors = max_num_neighbors
+        self.loop = loop
+        self.drop_last = drop_last
+
+        if node_capacity is None or edge_capacity is None:
+            sizes = np.asarray([len(z) for z in ds.z])
+            # sample edge counts on a few molecules to estimate degree
+            probe = np.linspace(0, len(ds) - 1, min(len(ds), 64)).astype(int)
+            e_per_node = []
+            for i in probe:
+                src, _ = build_edges_np(ds.pos[i], cutoff, loop,
+                                        max_num_neighbors)
+                e_per_node.append(len(src) / max(len(ds.z[i]), 1))
+            deg = max(e_per_node) if e_per_node else 8.0
+            n_cap = int(np.sort(sizes)[-min(batch_size, len(sizes)):].sum())
+            node_capacity = node_capacity or _round_up(n_cap + 8, 8)
+            edge_capacity = edge_capacity or _round_up(
+                int(node_capacity * deg * 1.15) + 16, 128)
+        self.node_capacity = node_capacity
+        self.edge_capacity = edge_capacity
+        self.with_forces = ds.dy is not None
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[GraphBatch]:
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        stop = len(self.ds) - (len(self.ds) % bs if self.drop_last else 0)
+        for off in range(0, stop, bs):
+            idx = order[off:off + bs]
+            graphs = self.ds.graph_dicts(idx)
+            y_dim = self.ds.y.shape[1] if self.ds.y is not None else 1
+            yield collate_graphs(
+                graphs, self.node_capacity, self.edge_capacity,
+                self.batch_size, cutoff=self.cutoff, loop=self.loop,
+                max_num_neighbors=self.max_num_neighbors, y_dim=y_dim,
+                with_forces=self.with_forces)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

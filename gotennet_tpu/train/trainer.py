@@ -1,0 +1,252 @@
+"""Training loop: jitted steps, loss EMA, plateau/cosine scheduling,
+checkpointing, CSV/JSONL logging, early stopping.
+
+Capability equivalent of the reference's Lightning stack
+(/root/reference/gotennet/models/goten_model.py +
+training_pipeline.py): AdamW(eps 1e-7) with grad-clip 5.0, linear LR
+warmup, ReduceLROnPlateau or cosine annealing on a monitored validation
+metric, EMA *of the loss value* for scheduler smoothing
+(goten_model.py:479-497 — not weight EMA), best/last checkpoints with
+the config serialized alongside (config-in-checkpoint capability), and
+fp64 metric accumulation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gotennet_tpu.models.model import GotenModel, apply_with_forces
+from gotennet_tpu.train.metrics import MetricAccumulator
+from gotennet_tpu.train.optim import (
+    PlateauState,
+    cosine_scale,
+    make_optimizer,
+    plateau_update,
+    warmup_scale,
+)
+
+__all__ = ["TrainerConfig", "Trainer", "make_loss_fn"]
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    grad_clip: Optional[float] = 5.0
+    lr_warmup_steps: int = 0
+    scheduler: str = "plateau"          # 'plateau' | 'cosine' | 'none'
+    lr_decay: float = 0.8               # plateau factor
+    lr_patience: int = 15
+    lr_minlr: float = 1e-7
+    cosine_t_max: int = 1_000_000
+    max_epochs: int = 1000
+    early_stopping_patience: int = 150
+    monitor: str = "val_loss"           # on EMA when ema_rate set
+    ema_rate: float = 0.0               # loss-value EMA (0 = off)
+    seed: int = 1
+    log_every: int = 50
+    workdir: str = "runs/default"
+
+
+def make_loss_fn(model: GotenModel, task) -> Callable:
+    """Build the weighted multi-loss closure shared by train and eval."""
+    specs = task.get_losses()
+
+    def loss_fn(params, batch, rng, deterministic):
+        rngs = None if rng is None else {"dropout": rng}
+        out = apply_with_forces(model, params, batch,
+                                deterministic=deterministic, rngs=rngs)
+        targets = task.get_targets(batch)
+        total = jnp.asarray(0.0, jnp.float32)
+        logs = {}
+        for spec in specs:
+            pred = out[spec["prediction"]]
+            tgt, mask = targets[spec["target"]]
+            li = spec["loss_fn"](pred.reshape(tgt.shape), tgt, mask)
+            logs[spec["name"]] = li
+            total = total + spec["loss_weight"] * li
+        return total, (logs, out)
+
+    return loss_fn
+
+
+class Trainer:
+    """Single-host trainer; multi-device data parallelism is layered on
+    via ``gotennet_tpu.parallel`` (the step functions here are pure and
+    shard_map-compatible)."""
+
+    def __init__(self, model: GotenModel, task, cfg: TrainerConfig):
+        self.model = model
+        self.task = task
+        self.cfg = cfg
+        self.tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.grad_clip)
+        self.loss_fn = make_loss_fn(model, task)
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+        self.ema: Dict[str, float] = {}
+        self.plateau = PlateauState(cfg.lr_decay, cfg.lr_patience,
+                                    cfg.lr_minlr)
+        os.makedirs(cfg.workdir, exist_ok=True)
+        self._log_f = open(os.path.join(cfg.workdir, "metrics.jsonl"), "a")
+
+    # ---- step builders -------------------------------------------------
+    def _build_train_step(self):
+        loss_fn = self.loss_fn
+        tx = self.tx
+
+        def train_step(params, opt_state, batch, rng, lr_scale):
+            rng, step_rng = jax.random.split(rng)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, (logs, _)), grads = grad_fn(params, batch, step_rng, False)
+            # inject scheduled LR: inner state of chain = (clip, adamw)
+            opt_state = self._set_lr(opt_state, lr_scale)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            gnorm = optax.global_norm(grads)
+            logs = dict(logs, loss=loss, grad_norm=gnorm)
+            return params, opt_state, rng, logs
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    def _set_lr(self, opt_state, lr_scale):
+        """Write ``base_lr * lr_scale`` into the injected hyperparams."""
+        base = self.cfg.lr
+
+        def set_in(state):
+            if hasattr(state, "hyperparams") and "learning_rate" in getattr(
+                    state, "hyperparams", {}):
+                state.hyperparams["learning_rate"] = base * lr_scale
+                return state
+            return state
+
+        if isinstance(opt_state, tuple):
+            return tuple(set_in(s) for s in opt_state)
+        return set_in(opt_state)
+
+    def _build_eval_step(self):
+        loss_fn = self.loss_fn
+        metrics = self.task.get_metrics()
+
+        def eval_step(params, batch):
+            loss, (logs, out) = loss_fn(params, batch, None, True)
+            preds = {}
+            targets = self.task.get_targets(batch)
+            for m in metrics:
+                tgt, mask = targets[m["target"]]
+                preds[m["name"]] = (
+                    out[m["prediction"]].reshape(tgt.shape), tgt, mask)
+            return loss, logs, preds
+
+        return jax.jit(eval_step)
+
+    # ---- loops ---------------------------------------------------------
+    def lr_scale(self, step: int) -> float:
+        w = warmup_scale(step, self.cfg.lr_warmup_steps)
+        if self.cfg.scheduler == "plateau":
+            return w * self.plateau.scale
+        if self.cfg.scheduler == "cosine":
+            return w * cosine_scale(step, self.cfg.cosine_t_max)
+        return w
+
+    def _update_ema(self, key: str, value: float) -> float:
+        """Loss-value EMA (reference goten_model.py:479-497)."""
+        rate = self.cfg.ema_rate
+        if not (0.0 < rate < 1.0):
+            return value
+        prev = self.ema.get(key)
+        ema = value if prev is None else rate * value + (1 - rate) * prev
+        self.ema[key] = ema
+        return ema
+
+    def fit(self, params, train_loader: Iterable, val_loader: Iterable,
+            max_steps: Optional[int] = None):
+        cfg = self.cfg
+        opt_state = self.tx.init(params)
+        rng = jax.random.PRNGKey(cfg.seed)
+        step = 0
+        best_metric = math.inf
+        bad_epochs = 0
+        history = []
+
+        for epoch in range(cfg.max_epochs):
+            t0 = time.time()
+            train_losses = []
+            for batch in train_loader:
+                params, opt_state, rng, logs = self._train_step(
+                    params, opt_state, batch, rng, self.lr_scale(step))
+                step += 1
+                if step % cfg.log_every == 0:
+                    self._log({"phase": "train", "step": step,
+                               **{k: float(v) for k, v in logs.items()}})
+                train_losses.append(float(logs["loss"]))
+                if max_steps is not None and step >= max_steps:
+                    break
+
+            val = self.evaluate(params, val_loader, phase="validation")
+            val["train_loss"] = (float(np.mean(train_losses))
+                                 if train_losses else math.nan)
+            val["epoch"] = epoch
+            val["step"] = step
+            val["lr_scale"] = self.lr_scale(step)
+            val["epoch_time_s"] = time.time() - t0
+            history.append(val)
+            self._log({"phase": "val_epoch", **val})
+
+            monitored = self._update_ema(
+                f"validation_{cfg.monitor}", val[cfg.monitor])
+            if cfg.scheduler == "plateau":
+                self.plateau = plateau_update(self.plateau, monitored, cfg.lr)
+
+            if monitored < best_metric:
+                best_metric = monitored
+                bad_epochs = 0
+                self.save_checkpoint(params, opt_state, step, "best")
+            else:
+                bad_epochs += 1
+            self.save_checkpoint(params, opt_state, step, "last")
+
+            if bad_epochs > cfg.early_stopping_patience:
+                break
+            if max_steps is not None and step >= max_steps:
+                break
+        return params, history
+
+    def evaluate(self, params, loader: Iterable,
+                 phase: str = "test") -> Dict[str, float]:
+        accs = {m["name"]: MetricAccumulator()
+                for m in self.task.get_metrics()}
+        losses = []
+        for batch in loader:
+            loss, logs, preds = self._eval_step(params, batch)
+            losses.append(float(loss))
+            for name, (p, t, m) in preds.items():
+                accs[name].update(np.asarray(p), np.asarray(t), np.asarray(m))
+        out = {"val_loss": float(np.mean(losses)) if losses else math.nan}
+        for name, acc in accs.items():
+            stats = acc.compute()
+            key = "mae" if "Absolute" in name else "mse"
+            out[name] = stats[key]
+        return out
+
+    # ---- persistence ---------------------------------------------------
+    def save_checkpoint(self, params, opt_state, step: int,
+                        tag: str) -> None:
+        from gotennet_tpu.train.checkpoint import save_checkpoint
+        save_checkpoint(os.path.join(self.cfg.workdir, f"ckpt_{tag}"),
+                        params, step=step, model=self.model)
+
+    def _log(self, record: Dict[str, Any]) -> None:
+        self._log_f.write(json.dumps(
+            {k: (float(v) if isinstance(v, (int, float, np.floating))
+                 else v) for k, v in record.items()}) + "\n")
+        self._log_f.flush()

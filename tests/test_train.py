@@ -1,0 +1,113 @@
+"""Training system: tiny-dataset overfit, checkpoint round-trip,
+scheduler/EMA semantics, alias validation."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from gotennet_tpu.data.dataset import BatchLoader, make_splits, synthetic_molecules
+from gotennet_tpu.models.gotennet import GotenNetConfig
+from gotennet_tpu.models.model import GotenModel, HeadConfig
+from gotennet_tpu.tasks.qm9 import QM9Task
+from gotennet_tpu.train.optim import PlateauState, plateau_update, warmup_scale
+from gotennet_tpu.train.trainer import Trainer, TrainerConfig
+
+CFG = GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=1, n_rbf=8,
+                     num_heads=4, attn_dropout=0.0)
+
+
+def _setup(tmp_path, n=24):
+    ds = synthetic_molecules(n, seed=0, min_atoms=5, max_atoms=10)
+    task = QM9Task("U0", dataset_meta={"mean": float(ds.y.mean()),
+                                       "std": float(ds.y.std())})
+    model = GotenModel(CFG, task.build_head())
+    loader = BatchLoader(ds, batch_size=8, cutoff=CFG.cutoff, shuffle=True)
+    tcfg = TrainerConfig(lr=5e-3, max_epochs=30, workdir=str(tmp_path),
+                         log_every=1000, scheduler="none")
+    return model, task, loader, tcfg
+
+
+def test_overfit_tiny(tmp_path):
+    model, task, loader, tcfg = _setup(tmp_path)
+    trainer = Trainer(model, task, tcfg)
+    params = model.init(jax.random.PRNGKey(0), next(iter(loader)))
+    first = trainer.evaluate(params, loader)["val_loss"]
+    params, history = trainer.fit(params, loader, loader)
+    last = history[-1]["val_loss"]
+    assert np.isfinite(last)
+    assert last < first * 0.25, f"no learning: {first} -> {last}"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from gotennet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    model, task, loader, _ = _setup(tmp_path)
+    batch = next(iter(loader))
+    params = model.init(jax.random.PRNGKey(1), batch)
+    y0 = model.apply(params, batch)["property"]
+    path = os.path.join(str(tmp_path), "ckpt")
+    save_checkpoint(path, params, step=7, model=model)
+    model2, params2, step = load_checkpoint(path)
+    assert step == 7
+    assert model2.cfg == model.cfg
+    y1 = model2.apply(params2, batch)["property"]
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-6)
+
+
+def test_plateau_and_warmup():
+    st = PlateauState(factor=0.5, patience=1, min_lr=1e-6)
+    st = plateau_update(st, 1.0, base_lr=1e-3)  # best=1.0
+    assert st.scale == 1.0
+    st = plateau_update(st, 2.0, base_lr=1e-3)  # bad 1
+    assert st.scale == 1.0 and st.num_bad == 1
+    st = plateau_update(st, 2.0, base_lr=1e-3)  # bad 2 > patience -> decay
+    assert st.scale == 0.5 and st.num_bad == 0
+    st = plateau_update(st, 0.5, base_lr=1e-3)  # improves
+    assert st.best == 0.5 and st.scale == 0.5
+
+    assert warmup_scale(0, 10) == pytest.approx(0.1)
+    assert warmup_scale(9, 10) == 1.0
+    assert warmup_scale(0, 0) == 1.0
+
+
+def test_make_splits_roundtrip(tmp_path):
+    p = os.path.join(str(tmp_path), "splits.npz")
+    tr, va, te = make_splits(100, 60, 20, None, seed=1, save_path=p)
+    assert len(tr) == 60 and len(va) == 20 and len(te) == 20
+    assert len(set(tr) | set(va) | set(te)) == 100
+    tr2, va2, te2 = make_splits(100, 1, 1, 1, seed=99, splits_path=p)
+    np.testing.assert_array_equal(tr, tr2)
+
+    tr, va, te = make_splits(100, 0.5, 0.3, None, seed=1)
+    assert len(tr) == 50 and len(va) == 30 and len(te) == 20
+
+
+def test_alias_validation():
+    from gotennet_tpu.utils.hub import resolve_checkpoint
+    with pytest.raises(ValueError):
+        resolve_checkpoint("bogus")
+    with pytest.raises(ValueError):
+        resolve_checkpoint("QM9_gigantic_homo")
+    with pytest.raises(ValueError):
+        resolve_checkpoint("rMD17_small_aspirin")  # rMD17 has 'base' only
+    with pytest.raises(ValueError):
+        resolve_checkpoint("QM9_small_nonexistent")
+
+
+def test_force_training_step(tmp_path):
+    """Grad-of-grad: one optimization step on an energy+force loss."""
+    from gotennet_tpu.tasks.force_task import MD17Task
+    ds = synthetic_molecules(8, seed=1, min_atoms=5, max_atoms=8,
+                             with_forces=True)
+    task = MD17Task("aspirin", dataset_meta={"mean": 0.0, "std": 1.0})
+    model = GotenModel(CFG, task.build_head())
+    loader = BatchLoader(ds, batch_size=4, cutoff=CFG.cutoff)
+    tcfg = TrainerConfig(lr=1e-3, max_epochs=2, workdir=str(tmp_path),
+                         scheduler="none")
+    trainer = Trainer(model, task, tcfg)
+    batch = next(iter(loader))
+    params = model.init(jax.random.PRNGKey(2), batch)
+    params, history = trainer.fit(params, loader, loader)
+    assert np.isfinite(history[-1]["val_loss"])
+    assert "MeanAbsoluteError_force" in history[-1]
