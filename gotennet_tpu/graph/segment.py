@@ -7,6 +7,13 @@ TPU-native replacements for ``torch_scatter.scatter`` and
 lists produce exact zeros for dead slots, and accept
 ``indices_are_sorted`` because the batcher emits edges sorted by
 destination node (enables XLA's fast sorted-segment path).
+
+Edge partitioning (graph-parallel scaling over a device mesh): every
+function takes an optional ``psum_axis``.  Inside ``shard_map`` with
+edges sharded along that mesh axis and node features replicated, each
+device reduces its local edge shard into the full node range and the
+partial results are combined with a single XLA collective (psum/pmax)
+over ICI — the graph-world analog of sequence parallelism.
 """
 
 from __future__ import annotations
@@ -37,13 +44,17 @@ def segment_sum(
     num_segments: int,
     mask: Optional[jnp.ndarray] = None,
     indices_are_sorted: bool = False,
+    psum_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Sum ``data`` rows into ``num_segments`` buckets by ``segment_ids``."""
     data = _apply_mask(data, mask)
-    return jax.ops.segment_sum(
+    out = jax.ops.segment_sum(
         data, segment_ids, num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,
     )
+    if psum_axis is not None:
+        out = jax.lax.psum(out, psum_axis)
+    return out
 
 
 def segment_mean(
@@ -52,10 +63,11 @@ def segment_mean(
     num_segments: int,
     mask: Optional[jnp.ndarray] = None,
     indices_are_sorted: bool = False,
+    psum_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Mean-reduce rows per segment; empty segments yield zeros."""
     total = segment_sum(data, segment_ids, num_segments, mask,
-                        indices_are_sorted)
+                        indices_are_sorted, psum_axis)
     if mask is None:
         ones = jnp.ones(data.shape[0], dtype=data.dtype)
     else:
@@ -64,6 +76,8 @@ def segment_mean(
         ones, segment_ids, num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,
     )
+    if psum_axis is not None:
+        counts = jax.lax.psum(counts, psum_axis)
     counts = jnp.maximum(counts, 1)
     while counts.ndim < total.ndim:
         counts = counts[..., None]
@@ -77,6 +91,7 @@ def segment_max(
     mask: Optional[jnp.ndarray] = None,
     indices_are_sorted: bool = False,
     neutral: Optional[float] = None,
+    psum_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Max-reduce rows per segment; masked/empty slots give ``neutral``
     (default: most-negative finite value of the dtype)."""
@@ -88,10 +103,13 @@ def segment_max(
         while m.ndim < data.ndim:
             m = m[..., None]
         data = jnp.where(m, data, jnp.full_like(data, neutral))
-    return jax.ops.segment_max(
+    out = jax.ops.segment_max(
         data, segment_ids, num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,
     )
+    if psum_axis is not None:
+        out = jax.lax.pmax(out, psum_axis)
+    return out
 
 
 def segment_softmax(
@@ -100,6 +118,7 @@ def segment_softmax(
     num_segments: int,
     mask: Optional[jnp.ndarray] = None,
     indices_are_sorted: bool = False,
+    psum_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Numerically-stable softmax over variable-size segments.
 
@@ -111,13 +130,18 @@ def segment_softmax(
     ``logits`` may have trailing axes (e.g. ``[E, H, 1]`` for per-head
     attention); the reduction runs over axis 0 only.
     """
-    seg_max = segment_max(logits, segment_ids, num_segments, mask,
-                          indices_are_sorted)
+    # The max shift is for numerical stability only — softmax is
+    # shift-invariant, so cut the whole max path out of the autodiff
+    # graph (stop_gradient on the *input* keeps the tangent entering the
+    # cross-device pmax symbolically zero; pmax has no JVP rule).
+    seg_max = segment_max(jax.lax.stop_gradient(logits), segment_ids,
+                          num_segments, mask, indices_are_sorted,
+                          psum_axis=psum_axis)
     # Dead segments keep dtype-min; stop that from polluting exp below.
     seg_max = jnp.maximum(seg_max, jnp.finfo(logits.dtype).min / 2)
     shifted = logits - seg_max[segment_ids]
     expd = jnp.exp(shifted)
     expd = _apply_mask(expd, mask)
     denom = segment_sum(expd, segment_ids, num_segments, None,
-                        indices_are_sorted)
+                        indices_are_sorted, psum_axis=psum_axis)
     return expd / (denom[segment_ids] + _SOFTMAX_EPS)

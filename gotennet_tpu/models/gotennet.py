@@ -127,6 +127,9 @@ class GotenNetConfig:
     sep_tensor: bool = True
     edge_ln: str = ""
     dtype: Any = jnp.float32
+    # Mesh axis along which the edge list is sharded (inside shard_map);
+    # None = single-device semantics.  See graph/segment.py psum_axis.
+    edge_axis: Optional[str] = None
 
     @property
     def sh_dim(self) -> int:
@@ -142,17 +145,20 @@ class GotenNetConfig:
         return m
 
 
-def _segment_aggregate(aggr: str, data, seg, n, mask):
+def _segment_aggregate(aggr: str, data, seg, n, mask, psum_axis=None):
     """Masked segment reduction with the reference's empty-segment
     convention (zeros)."""
     if aggr == "add":
-        return segment_sum(data, seg, n, mask, indices_are_sorted=True)
+        return segment_sum(data, seg, n, mask, indices_are_sorted=True,
+                           psum_axis=psum_axis)
     if aggr == "mean":
-        return segment_mean(data, seg, n, mask, indices_are_sorted=True)
+        return segment_mean(data, seg, n, mask, indices_are_sorted=True,
+                            psum_axis=psum_axis)
     if aggr == "max":
-        out = segment_max(data, seg, n, mask, indices_are_sorted=True)
+        out = segment_max(data, seg, n, mask, indices_are_sorted=True,
+                          psum_axis=psum_axis)
         counts = segment_sum(mask.astype(jnp.int32), seg, n,
-                             indices_are_sorted=True)
+                             indices_are_sorted=True, psum_axis=psum_axis)
         c = counts
         while c.ndim < out.ndim:
             c = c[..., None]
@@ -193,7 +199,8 @@ class NodeInit(fnn.Module):
         msg_mask = edge_mask & (edge_src != edge_dst)
         msg = h_src[edge_src] * r_feat
         m_i = segment_sum(msg, edge_dst, h.shape[0], msg_mask,
-                          indices_are_sorted=True)
+                          indices_are_sorted=True,
+                          psum_axis=cfg.edge_axis)
         fused = jnp.concatenate([h, m_i], axis=-1)
         return MLP([2 * d, d, d], activation=act, last_activation=None,
                    weight_init=cfg.weight_init, bias_init=cfg.bias_init,
@@ -272,7 +279,8 @@ class GATA(fnn.Module):
             q[edge_dst] * k[edge_src] * t_attn.reshape(E, H, Dh),
             axis=-1, keepdims=True)  # [E, H, 1]
         attn = segment_softmax(logit, edge_dst, N, edge_mask,
-                               indices_are_sorted=True)
+                               indices_are_sorted=True,
+                               psum_axis=cfg.edge_axis)
         if cfg.scale_edge:
             norm = jnp.sqrt(n_edges)[:, None, None] / math.sqrt(D)
         else:
@@ -309,8 +317,10 @@ class GATA(fnn.Module):
         dX = dX_R + dX_X  # [E, L, D]
 
         # ---- aggregate ----------------------------------------------
-        d_h = _segment_aggregate(cfg.aggr, o_s, edge_dst, N, edge_mask)
-        d_X = _segment_aggregate(cfg.aggr, dX, edge_dst, N, edge_mask)
+        d_h = _segment_aggregate(cfg.aggr, o_s, edge_dst, N, edge_mask,
+                                 cfg.edge_axis)
+        d_X = _segment_aggregate(cfg.aggr, dX, edge_dst, N, edge_mask,
+                                 cfg.edge_axis)
         h = h + d_h
         X = X + d_X
 
@@ -446,7 +456,8 @@ class GotenNet(fnn.Module):
         rl_ij = spherical_harmonics(vec_n, cfg.lmax)  # [E, L]
 
         # per-source real-edge counts (reference gotennet.py:986-989)
-        counts = segment_sum(edge_mask.astype(h.dtype), edge_src, N)
+        counts = segment_sum(edge_mask.astype(h.dtype), edge_src, N,
+                             psum_axis=cfg.edge_axis)
         n_edges = counts[edge_src]
 
         # h stays [N, D] throughout (the reference's [N, 1, D] axis only

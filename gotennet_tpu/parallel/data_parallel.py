@@ -1,0 +1,96 @@
+"""Data- and edge-parallel training steps via ``shard_map``.
+
+Layout: batches are stacked along a leading device axis and sharded
+over the ``data`` mesh axis; within each data shard, edge arrays are
+additionally sharded over the ``edge`` axis (node arrays replicated
+across ``edge``).  Parameters are replicated; gradients are pmean'd
+over both axes inside the mapped function, so one jitted call does
+forward, backward, collectives, and the optimizer update.
+
+Replaces the reference's Lightning-DDP gradient all-reduce
+(configs/trainer/default.yaml:7) with explicit XLA collectives that
+XLA schedules over ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from gotennet_tpu.graph.batch import GraphBatch
+
+__all__ = ["stack_batches", "shard_graph_batch", "batch_pspec",
+           "make_parallel_train_step"]
+
+
+def stack_batches(batches: Sequence[GraphBatch]) -> GraphBatch:
+    """Stack identical-capacity GraphBatches along a new leading axis
+    (one slot per data-parallel device)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *batches)
+
+
+def batch_pspec(edge_axis: Optional[str] = "edge",
+                with_forces: bool = False) -> GraphBatch:
+    """PartitionSpec pytree for a stacked GraphBatch: leading axis over
+    'data', edge arrays additionally sharded over ``edge_axis``."""
+    node = P("data")
+    edge = P("data", edge_axis) if edge_axis else P("data")
+    return GraphBatch(
+        z=node, pos=node, node_graph=node,
+        edge_src=edge, edge_dst=edge,
+        node_mask=node, edge_mask=edge,
+        graph_mask=node, y=node, dy=node if with_forces else None,
+    )
+
+
+def shard_graph_batch(batch: GraphBatch, mesh: Mesh,
+                      edge_axis: Optional[str] = "edge") -> GraphBatch:
+    """Device-put a stacked batch with the canonical sharding."""
+    spec = batch_pspec(edge_axis, with_forces=batch.dy is not None)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        batch, spec)
+
+
+def make_parallel_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
+                             mesh: Mesh,
+                             edge_axis: Optional[str] = "edge",
+                             with_forces: bool = False) -> Callable:
+    """Build a jitted data+edge-parallel train step.
+
+    ``loss_fn(params, batch, rng, deterministic) -> (loss, aux)`` must
+    already use ``psum_axis=edge_axis`` semantics internally when
+    ``edge_axis`` is set (GotenNetConfig.edge_axis).
+    """
+    axes = mesh.axis_names
+
+    def device_step(params, opt_state, batch, rng):
+        # strip the per-device leading axis added by stacking
+        local = jax.tree.map(lambda x: x[0], batch)
+        my_rng = rng
+        for ax in axes:
+            my_rng = jax.random.fold_in(my_rng, jax.lax.axis_index(ax))
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, aux), grads = grad_fn(params, local, my_rng, False)
+        grads = jax.lax.pmean(grads, axes)
+        loss = jax.lax.pmean(loss, axes)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    bspec = batch_pspec(edge_axis if edge_axis in axes else None,
+                        with_forces=with_forces)
+    mapped = jax.shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), P(), bspec, P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1))
