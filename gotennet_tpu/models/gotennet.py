@@ -130,6 +130,11 @@ class GotenNetConfig:
     # Mesh axis along which the edge list is sharded (inside shard_map);
     # None = single-device semantics.  See graph/segment.py psum_axis.
     edge_axis: Optional[str] = None
+    # Rematerialize each GATA block in the backward pass: trades ~1/3
+    # more FLOPs for not storing the [E, L, D] edge intermediates of
+    # every layer — the difference between fitting batch-256 QM9 on one
+    # v5e chip and OOM.
+    remat: bool = True
 
     @property
     def sh_dim(self) -> int:
@@ -234,10 +239,11 @@ class GATA(fnn.Module):
 
     cfg: GotenNetConfig
     last_layer: bool = False
+    deterministic: bool = True
 
     @fnn.compact
     def __call__(self, h, X, t_ij, rl_ij, edge_dist, edge_src, edge_dst,
-                 edge_mask, n_edges, deterministic: bool = True):
+                 edge_mask, n_edges):
         cfg = self.cfg
         act = get_activation(cfg.activation)
         D = cfg.n_atom_basis
@@ -288,7 +294,7 @@ class GATA(fnn.Module):
         attn = attn * norm
         if cfg.attn_dropout > 0.0:
             attn = fnn.Dropout(cfg.attn_dropout, name="attn_dropout")(
-                attn, deterministic=deterministic)
+                attn, deterministic=self.deterministic)
 
         sea = (attn * v[edge_src].reshape(E, H, (mult * D) // H))
         sea = sea.reshape(E, mult * D)
@@ -463,12 +469,13 @@ class GotenNet(fnn.Module):
         # h stays [N, D] throughout (the reference's [N, 1, D] axis only
         # serves torch broadcasting; dropping it saves a reshape per op)
         X = jnp.zeros((N, cfg.sh_dim, D), h.dtype)
+        gata_cls = fnn.remat(GATA) if cfg.remat else GATA
         for i in range(cfg.n_interactions):
-            h, X, t_ij = GATA(
+            h, X, t_ij = gata_cls(
                 cfg, last_layer=(i == cfg.n_interactions - 1),
-                name=f"gata_{i}")(
+                deterministic=deterministic, name=f"gata_{i}")(
                     h, X, t_ij, rl_ij, edge_dist, edge_src, edge_dst,
-                    edge_mask, n_edges, deterministic=deterministic)
+                    edge_mask, n_edges)
             h, X = EQFF(cfg, name=f"eqff_{i}")(h, X)
 
         return h, X
