@@ -1,0 +1,173 @@
+"""Train / test CLI pipelines.
+
+Equivalents of the reference console scripts ``train_gotennet`` /
+``test_gotennet`` (/root/reference/gotennet/scripts/{train,test}.py +
+training_pipeline.py / testing_pipeline.py):
+
+    python -m gotennet_tpu.cli train experiment=qm9_u0 label=homo
+    python -m gotennet_tpu.cli test checkpoint=runs/x/ckpt_best
+
+Composes the YAML config tree (utils/config.py), builds the data
+pipeline + task + model + trainer, runs fit and/or evaluation, and
+writes metrics + checkpoints into the run dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from gotennet_tpu.utils.config import load_config
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "configs")
+
+
+def _build_data(cfg: Dict, label: str):
+    """Returns (train_loader, val_loader, test_loader, dataset_meta)."""
+    from gotennet_tpu.data.dataset import (
+        BatchLoader,
+        make_splits,
+        standardize_energy,
+        synthetic_molecules,
+    )
+    dm = cfg["datamodule"]
+    workdir = cfg["workdir"]
+    os.makedirs(workdir, exist_ok=True)
+
+    if dm["dataset"] == "QM9":
+        from gotennet_tpu.data.qm9 import load_qm9
+        ds = load_qm9(dm["dataset_root"], label=label)
+    elif dm["dataset"] == "synthetic":
+        ds = synthetic_molecules(dm.get("n_molecules", 256),
+                                 seed=dm.get("seed", 1))
+    else:
+        raise ValueError(f"Unknown dataset {dm['dataset']!r}")
+
+    idx_train, idx_val, idx_test = make_splits(
+        len(ds), dm["train_size"], dm["val_size"], dm.get("test_size"),
+        dm.get("seed", 1), os.path.join(workdir, "splits.npz"),
+        dm.get("splits"))
+
+    mean = std = None
+    if dm.get("standardize"):
+        use_ar = dm.get("prior_model") == "Atomref"
+        mean, std = standardize_energy(ds, idx_train, use_atomref=use_ar)
+
+    cutoff = cfg["model"]["representation"]["cutoff"]
+    mk = dict(cutoff=cutoff,
+              max_num_neighbors=dm.get("max_num_neighbors", 32))
+    train_loader = BatchLoader(ds.subset(idx_train), dm["batch_size"],
+                               shuffle=True, seed=dm.get("seed", 1), **mk)
+    val_loader = BatchLoader(ds.subset(idx_val),
+                             dm.get("inference_batch_size",
+                                    dm["batch_size"]), **mk)
+    test_loader = BatchLoader(ds.subset(idx_test),
+                              dm.get("inference_batch_size",
+                                     dm["batch_size"]), **mk)
+    meta = {"mean": mean, "std": std, "atomref": ds.atomref}
+    return train_loader, val_loader, test_loader, meta
+
+
+def _build_model_and_trainer(cfg: Dict, meta: Dict):
+    from gotennet_tpu.models.gotennet import GotenNetConfig
+    from gotennet_tpu.models.model import GotenModel
+    from gotennet_tpu.tasks import TASK_DICT
+    from gotennet_tpu.train.trainer import Trainer, TrainerConfig
+
+    mc = cfg["model"]
+    rep = {k: v for k, v in mc["representation"].items()}
+    gcfg = GotenNetConfig(**rep)
+    task_cls = TASK_DICT[cfg["task"]]
+    task = task_cls(cfg["label"], dataset_meta=meta,
+                    task_config={"task_loss": mc.get("task_loss", "L1Loss")})
+    model = GotenModel(gcfg, task.build_head())
+
+    tr = cfg["trainer"]
+    tcfg = TrainerConfig(
+        lr=mc["lr"], weight_decay=mc.get("weight_decay", 0.0),
+        grad_clip=mc.get("grad_clip", 5.0),
+        lr_warmup_steps=mc.get("lr_warmup_steps", 0),
+        scheduler=mc.get("scheduler", "plateau"),
+        lr_decay=mc.get("lr_decay", 0.8),
+        lr_patience=mc.get("lr_patience", 15),
+        lr_minlr=mc.get("lr_minlr", 1e-7),
+        max_epochs=tr.get("max_epochs", 1000),
+        early_stopping_patience=tr.get("early_stopping_patience", 150),
+        monitor=tr.get("monitor", "val_loss"),
+        ema_rate=mc.get("ema_rate", 0.0),
+        seed=cfg.get("seed", 1),
+        log_every=tr.get("log_every", 50),
+        workdir=cfg["workdir"],
+    )
+    return model, task, Trainer(model, task, tcfg)
+
+
+def train(cfg: Dict) -> Dict[str, float]:
+    label = cfg["label"]
+    train_loader, val_loader, test_loader, meta = _build_data(cfg, label)
+    model, task, trainer = _build_model_and_trainer(cfg, meta)
+
+    with open(os.path.join(cfg["workdir"], "config.json"), "w") as f:
+        json.dump({k: v for k, v in cfg.items()}, f, indent=1, default=str)
+
+    params = model.init(jax.random.PRNGKey(cfg.get("seed", 1)),
+                        next(iter(val_loader)))
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"model parameters: {n_params:,}")
+
+    if cfg.get("train", True):
+        params, history = trainer.fit(params, train_loader, val_loader)
+
+    results = {}
+    if cfg.get("test", True):
+        results = trainer.evaluate(params, test_loader, phase="test")
+        print("test:", json.dumps(results))
+        with open(os.path.join(cfg["workdir"], "test_results.json"),
+                  "w") as f:
+            json.dump(results, f, indent=1)
+    return results
+
+
+def test(cfg: Dict) -> Dict[str, float]:
+    """Evaluate a checkpoint (path or hub alias)."""
+    from gotennet_tpu.train.checkpoint import load_checkpoint
+    from gotennet_tpu.utils.hub import resolve_checkpoint
+
+    ckpt = resolve_checkpoint(cfg["checkpoint"])
+    model, params, step = load_checkpoint(ckpt)
+    if model is None:
+        raise ValueError(f"checkpoint {ckpt} has no embedded config")
+    label = cfg.get("label") or "U0"
+    _, _, test_loader, meta = _build_data(cfg, label)
+    _, task, trainer = _build_model_and_trainer(cfg, meta)
+    trainer.model = model
+    results = trainer.evaluate(params, test_loader, phase="test")
+    print("test:", json.dumps(results))
+    return results
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    mode = argv[0]
+    overrides = argv[1:]
+    root = "train.yaml"
+    cfg = load_config(CONFIG_DIR, root, overrides)
+    if mode == "train":
+        train(cfg)
+    elif mode == "test":
+        test(cfg)
+    else:
+        raise SystemExit(f"unknown mode {mode!r}; use train|test")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

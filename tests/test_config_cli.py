@@ -1,0 +1,66 @@
+"""Config composition, overrides, interpolation; end-to-end smoke run
+through the CLI train pipeline on synthetic data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from gotennet_tpu.cli import CONFIG_DIR, main, train
+from gotennet_tpu.utils.config import apply_overrides, load_config, merge, resolve
+
+
+def test_defaults_compose():
+    cfg = load_config(CONFIG_DIR, "train.yaml")
+    assert cfg["model"]["representation"]["n_atom_basis"] == 256
+    assert cfg["datamodule"]["batch_size"] == 32
+    assert cfg["trainer"]["max_epochs"] == 1000
+    assert cfg["label"] == "U0"
+    # interpolation: workdir uses name/label
+    assert cfg["workdir"] == "runs/gotennet_U0"
+
+
+def test_experiment_overlay_and_overrides():
+    cfg = load_config(CONFIG_DIR, "train.yaml",
+                      ["experiment=qm9_u0", "label=homo",
+                       "model.representation.lmax=3",
+                       "model.lr=3e-4"])
+    assert cfg["model"]["lr_warmup_steps"] == 10000   # from experiment
+    assert cfg["model"]["representation"]["n_rbf"] == 64
+    assert cfg["label"] == "homo"                     # override wins
+    assert cfg["model"]["representation"]["lmax"] == 3
+    assert cfg["model"]["lr"] == pytest.approx(3e-4)  # YAML-typed float
+
+
+def test_merge_and_resolve():
+    base = {"a": {"b": 1, "c": 2}, "d": "${a.b}", "e": "x${a.c}y"}
+    out = resolve(merge(base, {"a": {"b": 5}}))
+    assert out["a"] == {"b": 5, "c": 2}
+    assert out["d"] == 5          # whole-string keeps type
+    assert out["e"] == "x2y"
+
+    cfg = apply_overrides({"m": {}}, ["m.lr=1e-5", "m.flag=true", "m.s=abc"])
+    assert cfg["m"]["lr"] == pytest.approx(1e-5)
+    assert cfg["m"]["flag"] is True
+    assert cfg["m"]["s"] == "abc"
+
+
+def test_env_interpolation(monkeypatch):
+    monkeypatch.setenv("MY_TEST_VAR", "/tmp/x")
+    out = resolve({"p": "${oc.env:MY_TEST_VAR}"})
+    assert out["p"] == "/tmp/x"
+
+
+def test_cli_smoke_train(tmp_path):
+    """Full pipeline: config -> data -> model -> 3 epochs -> test."""
+    cfg = load_config(CONFIG_DIR, "train.yaml",
+                      ["experiment=smoke", f"workdir={tmp_path}/run"])
+    results = train(cfg)
+    assert "MeanAbsoluteError" in results
+    assert np.isfinite(results["val_loss"])
+    assert os.path.exists(os.path.join(str(tmp_path), "run", "config.json"))
+    assert os.path.exists(os.path.join(str(tmp_path), "run",
+                                       "test_results.json"))
+    assert os.path.isdir(os.path.join(str(tmp_path), "run", "ckpt_best"))
