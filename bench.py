@@ -7,12 +7,19 @@ Prints ONE JSON line:
 Protocol (north star in BASELINE.md): QM9-scale molecules, batch 256,
 GotenNet base (n_atom_basis=256, n_interactions=4, lmax=2, n_rbf=64,
 8 heads).  The metric counts REAL (unpadded) edges processed per second
-through a full jitted training step (forward + backward + AdamW).
+through a full training step (forward + backward + AdamW).
 ``vs_baseline`` is null because the reference publishes no throughput
 numbers (BASELINE.md).
 
+Timing methodology: this session reaches the TPU through a relay where
+async completion events are unreliable, so N dependent steps run inside
+one ``lax.scan`` and the wall time of a single scalar readback is
+measured; the separately-measured readback round-trip is subtracted.
+
 Env knobs: BENCH_BATCH (default 256), BENCH_STEPS (default 20),
-BENCH_MODE=train|forward (default train).
+BENCH_MODE=train|forward (default train), BENCH_LAYOUT=dense|edge
+(default dense — batched [G,M,M] MXU formulation; 'edge' is the flat
+scatter/segment path).
 """
 
 import json
@@ -23,14 +30,32 @@ import time
 import numpy as np
 
 
+def _rtt_seconds():
+    """Median host<->device scalar readback round-trip."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    float(f(x))
+    samples = []
+    for _ in range(5):
+        t0 = time.time()
+        float(f(x))
+        samples.append(time.time() - t0)
+    return float(np.median(samples))
+
+
 def main():
     import jax
+    import jax.numpy as jnp
 
     batch_size = int(os.environ.get("BENCH_BATCH", 256))
     n_steps = int(os.environ.get("BENCH_STEPS", 20))
     mode = os.environ.get("BENCH_MODE", "train")
+    layout = os.environ.get("BENCH_LAYOUT", "dense")
 
-    from gotennet_tpu.data.dataset import BatchLoader, synthetic_molecules
+    from gotennet_tpu.data.dataset import (
+        BatchLoader, DenseLoader, synthetic_molecules)
     from gotennet_tpu.models.gotennet import GotenNetConfig
     from gotennet_tpu.models.model import GotenModel
     from gotennet_tpu.tasks.qm9 import QM9Task
@@ -40,52 +65,71 @@ def main():
     cfg = GotenNetConfig(n_atom_basis=256, n_interactions=4, lmax=2,
                          n_rbf=64, num_heads=8, attn_dropout=0.0)
     task = QM9Task("U0", dataset_meta={"mean": 0.0, "std": 1.0})
-    model = GotenModel(cfg, task.build_head())
+    model = GotenModel(cfg, task.build_head(), layout=layout)
 
     # QM9-like size distribution (~18 atoms mean, <=29 max)
     ds = synthetic_molecules(batch_size, seed=0, min_atoms=12, max_atoms=29)
-    loader = BatchLoader(ds, batch_size=batch_size, cutoff=cfg.cutoff)
-    batch = next(iter(loader))
-    real_edges = int(np.asarray(batch.edge_mask).sum())
-    real_nodes = int(np.asarray(batch.node_mask).sum())
+    # real edge count (the throughput unit) always from the edge builder
+    eb = next(iter(BatchLoader(ds, batch_size=batch_size, cutoff=cfg.cutoff)))
+    real_edges = int(np.asarray(eb.edge_mask).sum())
+    real_nodes = int(np.asarray(eb.node_mask).sum())
+    if layout == "dense":
+        batch = next(iter(DenseLoader(ds, batch_size=batch_size)))
+        padded_pairs = int(batch.num_graphs * batch.max_atoms ** 2)
+    else:
+        batch = eb
+        padded_pairs = int(batch.num_edges)
 
     params = model.init(jax.random.PRNGKey(0), batch)
     loss_fn = make_loss_fn(model, task)
+    rtt = _rtt_seconds()
 
     if mode == "train":
         import optax
         tx = make_optimizer(1e-4, weight_decay=0.0)
         opt_state = tx.init(params)
 
-        @jax.jit
-        def step(params, opt_state, batch, rng):
+        def one_step(carry, i):
+            params, opt_state = carry
+            rng = jax.random.fold_in(jax.random.PRNGKey(1), i)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (loss, _), grads = grad_fn(params, batch, rng, False)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return (params, opt_state), loss
 
-        rng = jax.random.PRNGKey(1)
+        @jax.jit
+        def run(params, opt_state):
+            (params, opt_state), losses = jax.lax.scan(
+                one_step, (params, opt_state), jnp.arange(n_steps))
+            return losses[-1]
+
         t0 = time.time()
-        params, opt_state, loss = step(params, opt_state, batch, rng)
-        jax.block_until_ready(loss)
+        float(run(params, opt_state))
         compile_s = time.time() - t0
-
         t0 = time.time()
-        for _ in range(n_steps):
-            params, opt_state, loss = step(params, opt_state, batch, rng)
-        jax.block_until_ready(loss)
-        dt = (time.time() - t0) / n_steps
+        float(run(params, opt_state))
+        dt = max(time.time() - t0 - rtt, 1e-9) / n_steps
     else:
-        fwd = jax.jit(lambda p, b: loss_fn(p, b, None, True)[0])
+        def one_fwd(carry, i):
+            # tie each iteration to the carry so XLA cannot hoist the
+            # loop-invariant forward out of the scan
+            b = batch.replace(pos=batch.pos + carry * 1e-20)
+            loss, _ = loss_fn(params, b, None, True)
+            return carry + loss, None
+
+        @jax.jit
+        def run():
+            total, _ = jax.lax.scan(one_fwd, jnp.float32(0.0),
+                                    jnp.arange(n_steps))
+            return total
+
         t0 = time.time()
-        jax.block_until_ready(fwd(params, batch))
+        float(run())
         compile_s = time.time() - t0
         t0 = time.time()
-        for _ in range(n_steps):
-            out = fwd(params, batch)
-        jax.block_until_ready(out)
-        dt = (time.time() - t0) / n_steps
+        float(run())
+        dt = max(time.time() - t0 - rtt, 1e-9) / n_steps
 
     edges_per_s = real_edges / dt
     print(json.dumps({
@@ -97,8 +141,10 @@ def main():
         "batch_graphs": batch_size,
         "real_edges": real_edges,
         "real_nodes": real_nodes,
-        "padded_edges": int(batch.num_edges),
+        "layout": layout,
+        "padded_edges": padded_pairs,
         "step_ms": round(dt * 1e3, 3),
+        "rtt_ms": round(rtt * 1e3, 1),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
     }))

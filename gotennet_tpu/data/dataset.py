@@ -18,7 +18,7 @@ import numpy as np
 from gotennet_tpu.graph.batch import GraphBatch
 from gotennet_tpu.graph.neighborlist import build_edges_np, collate_graphs
 
-__all__ = ["MoleculeDataset", "BatchLoader", "make_splits",
+__all__ = ["MoleculeDataset", "BatchLoader", "DenseLoader", "make_splits",
            "synthetic_molecules", "standardize_energy"]
 
 
@@ -218,3 +218,44 @@ class BatchLoader:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+class DenseLoader:
+    """Iterates fixed-capacity DenseBatches ([G, M] blocks) over a
+    dataset split — the input pipeline for the dense-block (MXU) model
+    layout.  ``max_atoms`` defaults to the split's largest molecule,
+    rounded up to a multiple of 8 (sublane tile)."""
+
+    def __init__(self, ds: MoleculeDataset, batch_size: int,
+                 shuffle: bool = False, seed: int = 0,
+                 max_atoms: Optional[int] = None,
+                 drop_last: bool = False):
+        self.ds = ds
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+        if max_atoms is None:
+            max_atoms = max((len(z) for z in ds.z), default=1)
+        self.max_atoms = _round_up(max_atoms, 8)
+        self.with_forces = ds.dy is not None
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        from gotennet_tpu.graph.dense_batch import collate_dense
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        stop = len(self.ds) - (len(self.ds) % bs if self.drop_last else 0)
+        y_dim = self.ds.y.shape[1] if self.ds.y is not None else 1
+        for off in range(0, stop, bs):
+            idx = order[off:off + bs]
+            yield collate_dense(self.ds.graph_dicts(idx), bs,
+                                self.max_atoms, y_dim=y_dim,
+                                with_forces=self.with_forces)

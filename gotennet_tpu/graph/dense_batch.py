@@ -1,0 +1,110 @@
+"""Dense per-graph batch layout: [num_graphs, max_atoms] blocks.
+
+TPU-first alternative to the flat edge list for small molecules
+(QM9 <= 29 atoms): every pairwise quantity lives in a ``[G, M, M, ...]``
+block, so neighborhood aggregation is a batched masked matmul on the
+MXU and attention softmax is a plain masked softmax over the j axis —
+no gather, no scatter, no sort.  Padded pair fraction at QM9 scale is
+~1.6x the capped edge list, a bargain against scatter-bound segment
+ops (measured: the edge-list forward is >2/3 HBM-traffic stalls from
+scatter fusions).
+
+The flat ``GraphBatch`` remains the layout for large/sparse molecules
+and for edge-partitioned multi-chip execution; ``to_graph_batch`` /
+``flatten_nodes`` convert between the two.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from gotennet_tpu.graph.batch import GraphBatch
+
+__all__ = ["DenseBatch", "collate_dense", "flatten_nodes"]
+
+
+@struct.dataclass
+class DenseBatch:
+    """Fixed-capacity dense molecule batch.
+
+    Attributes:
+        z: ``[G, M] int32`` atomic numbers, 0 = padded atom slot.
+        pos: ``[G, M, 3]`` coordinates.
+        mask: ``[G, M] bool`` real-atom mask.
+        graph_mask: ``[G] bool`` real-graph mask.
+        y: ``[G, T]`` targets.
+        dy: optional ``[G, M, 3]`` force targets.
+    """
+
+    z: jnp.ndarray
+    pos: jnp.ndarray
+    mask: jnp.ndarray
+    graph_mask: jnp.ndarray
+    y: jnp.ndarray
+    dy: Optional[jnp.ndarray] = None
+
+    @property
+    def num_graphs(self) -> int:
+        return self.z.shape[0]
+
+    @property
+    def max_atoms(self) -> int:
+        return self.z.shape[1]
+
+    @property
+    def node_mask(self) -> jnp.ndarray:
+        """Alias so code generic over batch layouts can mask atoms."""
+        return self.mask
+
+
+def collate_dense(graphs: Sequence[dict], num_graphs: int, max_atoms: int,
+                  y_dim: int = 1, with_forces: bool = False) -> DenseBatch:
+    """Pack molecules into a dense batch (capacity errors are loud)."""
+    if len(graphs) > num_graphs:
+        raise ValueError(f"{len(graphs)} graphs > capacity {num_graphs}")
+    z = np.zeros((num_graphs, max_atoms), np.int32)
+    pos = np.zeros((num_graphs, max_atoms, 3), np.float32)
+    mask = np.zeros((num_graphs, max_atoms), bool)
+    gmask = np.zeros(num_graphs, bool)
+    y = np.zeros((num_graphs, y_dim), np.float32)
+    dy = np.zeros((num_graphs, max_atoms, 3), np.float32) if with_forces else None
+    for g_idx, g in enumerate(graphs):
+        gz = np.asarray(g["z"], np.int32)
+        m = gz.shape[0]
+        if m > max_atoms:
+            raise ValueError(f"molecule with {m} atoms > capacity {max_atoms}")
+        z[g_idx, :m] = gz
+        pos[g_idx, :m] = np.asarray(g["pos"], np.float32)
+        mask[g_idx, :m] = True
+        gmask[g_idx] = True
+        if "y" in g and g["y"] is not None:
+            y[g_idx] = np.asarray(g["y"], np.float32).reshape(-1)[:y_dim]
+        if with_forces and "dy" in g and g["dy"] is not None:
+            dy[g_idx, :m] = np.asarray(g["dy"], np.float32)
+    return DenseBatch(
+        z=jnp.asarray(z), pos=jnp.asarray(pos), mask=jnp.asarray(mask),
+        graph_mask=jnp.asarray(gmask), y=jnp.asarray(y),
+        dy=jnp.asarray(dy) if dy is not None else None)
+
+
+def flatten_nodes(batch: DenseBatch) -> GraphBatch:
+    """View the dense batch as a flat node set (no edges) so the output
+    heads and graph reductions can reuse the GraphBatch code path."""
+    g, m = batch.z.shape
+    node_graph = jnp.repeat(jnp.arange(g, dtype=jnp.int32), m)
+    empty = jnp.zeros((0,), jnp.int32)
+    return GraphBatch(
+        z=batch.z.reshape(-1),
+        pos=batch.pos.reshape(-1, 3),
+        node_graph=node_graph,
+        edge_src=empty, edge_dst=empty,
+        node_mask=batch.mask.reshape(-1),
+        edge_mask=jnp.zeros((0,), bool),
+        graph_mask=batch.graph_mask,
+        y=batch.y,
+        dy=batch.dy.reshape(-1, 3) if batch.dy is not None else None,
+    )

@@ -415,12 +415,12 @@ class EQFF(fnn.Module):
         dense_kw = dict(weight_init=cfg.weight_init, bias_init=cfg.bias_init)
         X_p = Dense(D, use_bias=False, activation=None, **dense_kw,
                     name="W_vu")(X)
-        X_pn = jnp.sqrt(jnp.sum(X_p ** 2, axis=-2) + cfg.epsilon)  # [N, D]
+        X_pn = jnp.sqrt(jnp.sum(X_p ** 2, axis=-2) + cfg.epsilon)  # [..., D]
         ctx = jnp.concatenate([h, X_pn], axis=-1)
         m = Dense(D, activation=act, **dense_kw, name="gamma_m_0")(ctx)
         m = Dense(2 * D, activation=None, **dense_kw, name="gamma_m_1")(m)
         m1, m2 = m[..., :D], m[..., D:]
-        return h + m1, X + m2[:, None, :] * X_p
+        return h + m1, X + m2[..., None, :] * X_p
 
 
 class GotenNet(fnn.Module):

@@ -1,0 +1,295 @@
+"""GotenNet in dense-block layout: batched [G, M, M] pair tensors.
+
+Mathematically identical to the edge-list model (models/gotennet.py) —
+same parameter tree, byte-for-byte interchangeable checkpoints — but
+every neighborhood reduction is a batched matmul/einsum over the
+j (neighbor) axis and attention softmax is a plain masked softmax.
+This maps the hot path onto the MXU with zero scatter/gather/sort; on
+a v5e chip it removes the scatter fusions that dominate the edge-list
+profile (>2/3 of runtime).
+
+Intended for small-molecule workloads (QM9: M=32).  The edge-list
+model remains the path for large molecules and edge-partitioned
+multi-chip runs; tests assert the two paths agree to fp32 tolerance.
+
+The HTR vector rejection is evaluated in expanded form
+   sum_m EQr.EKr = S - pq * pk * (2 - |r_l|^2)
+(S, pq, pk pairwise inner products), which avoids materializing any
+[G, M, M, 2l+1, C] tensor — an algebraic simplification of the
+reference's edge_update (gotennet.py:561-611) with identical output.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from gotennet_tpu.graph.dense_batch import DenseBatch
+from gotennet_tpu.models.gotennet import (
+    EQFF,
+    GotenNetConfig,
+    _zero_padded_embed_init,
+    parse_edge_updates,
+)
+from gotennet_tpu.nn.dense import MLP, Dense
+from gotennet_tpu.nn.norms import TensorLayerNorm
+from gotennet_tpu.ops.activations import get_activation
+from gotennet_tpu.ops.cutoffs import cosine_cutoff
+from gotennet_tpu.ops.rbf import get_rbf
+from gotennet_tpu.ops.spherical import degree_slices, spherical_harmonics
+
+__all__ = ["GotenNetDense"]
+
+_NEG = -1e30  # masked logit value; exp(-1e30 - max) == 0 exactly in fp32
+_SOFTMAX_EPS = 1e-16  # PyG softmax denominator guard, for path parity
+
+
+class NodeInitDense(fnn.Module):
+    """NodeInit in dense layout (same params as models.gotennet.NodeInit)."""
+
+    cfg: GotenNetConfig
+
+    @fnn.compact
+    def __call__(self, z, h, dist, phi, adj) -> jnp.ndarray:
+        cfg = self.cfg
+        act = get_activation(cfg.activation)
+        d = cfg.n_atom_basis
+        a_nbr = self.param("A_nbr", jax.nn.initializers.normal(1.0),
+                           (cfg.max_z, d), jnp.float32)
+        h_src = a_nbr[z]  # [G, M, D]
+        env = cosine_cutoff(dist, cfg.cutoff)  # [G, M, M]
+        r_feat = Dense(d, activation=None, weight_init=cfg.weight_init,
+                       bias_init=cfg.bias_init, name="W_ndp")(phi)
+        r_feat = r_feat * (env * adj)[..., None]  # [G, M, M, D]
+        m_i = jnp.einsum("gijd,gjd->gid", r_feat, h_src)
+        fused = jnp.concatenate([h, m_i], axis=-1)
+        return MLP([2 * d, d, d], activation=act, last_activation=None,
+                   weight_init=cfg.weight_init, bias_init=cfg.bias_init,
+                   norm="layer", name="W_nrd_nru")(fused)
+
+
+class EdgeInitDense(fnn.Module):
+    cfg: GotenNetConfig
+
+    @fnn.compact
+    def __call__(self, phi, h) -> jnp.ndarray:
+        w = Dense(self.cfg.n_atom_basis, activation=None,
+                  weight_init="xavier_uniform", bias_init="zeros",
+                  name="W_erp")(phi)  # [G, M, M, D]
+        return (h[:, :, None, :] + h[:, None, :, :]) * w
+
+
+class GATADense(fnn.Module):
+    """GATA in dense layout (same params as models.gotennet.GATA)."""
+
+    cfg: GotenNetConfig
+    last_layer: bool = False
+    deterministic: bool = True
+
+    @fnn.compact
+    def __call__(self, h, X, t_ij, rl_ij, dist, pair_mask, n_edges):
+        cfg = self.cfg
+        act = get_activation(cfg.activation)
+        D = cfg.n_atom_basis
+        H = cfg.num_heads
+        Dh = D // H
+        mult = cfg.multiplier
+        info = parse_edge_updates(cfg.edge_updates)
+        evec_dim = cfg.evec_dim or D
+        emlp_dim = cfg.emlp_dim or D
+        G, M = h.shape[:2]
+        dense_kw = dict(weight_init=cfg.weight_init, bias_init=cfg.bias_init)
+
+        if cfg.layernorm:
+            h = fnn.LayerNorm(epsilon=1e-5, name="layernorm")(h)
+        if cfg.steerable_norm:
+            X = TensorLayerNorm(D, cfg.lmax, trainable=False,
+                                name="tensor_layernorm")(X)
+
+        q = Dense(D, activation=None, **dense_kw, name="W_q")(h)
+        k = Dense(D, activation=None, **dense_kw, name="W_k")(h)
+        q = q.reshape(G, M, H, Dh)
+        k = k.reshape(G, M, H, Dh)
+
+        x_g = Dense(D, activation=act, **dense_kw, name="gamma_s_0")(h)
+        x_g = Dense(mult * D, activation=None, **dense_kw,
+                    name="gamma_s_1")(x_g)
+        v = Dense(D, activation=act, **dense_kw, name="gamma_v_0")(h)
+        v = Dense(mult * D, activation=None, **dense_kw, name="gamma_v_1")(v)
+
+        t_attn = Dense(D, activation=act, **dense_kw, name="W_re")(t_ij)
+        t_filter = Dense(mult * D, activation=None, **dense_kw,
+                         name="W_rs")(t_ij)  # [G, M, M, mult*D]
+
+        # ---- attention: SDDMM logits + masked softmax over j ---------
+        logit = jnp.einsum("gihd,gjhd,gijhd->gijh", q, k,
+                           t_attn.reshape(G, M, M, H, Dh))
+        logit = jnp.where(pair_mask[..., None], logit, _NEG)
+        lmaxv = jax.lax.stop_gradient(jnp.max(logit, axis=2, keepdims=True))
+        expd = jnp.exp(logit - lmaxv) * pair_mask[..., None]
+        attn = expd / (jnp.sum(expd, axis=2, keepdims=True) + _SOFTMAX_EPS)
+        if cfg.scale_edge:
+            attn = attn * (jnp.sqrt(n_edges)[..., None] / math.sqrt(D))
+        else:
+            attn = attn / math.sqrt(D)
+        if cfg.attn_dropout > 0.0:
+            attn = fnn.Dropout(cfg.attn_dropout, name="attn_dropout")(
+                attn, deterministic=self.deterministic)
+
+        if cfg.aggr != "add":
+            raise NotImplementedError(
+                "dense layout implements aggr='add' (the shipped config); "
+                "use the edge-list model for mean/max")
+
+        # ---- pair features + aggregation over j ----------------------
+        env = cosine_cutoff(dist, cfg.cutoff) * pair_mask  # [G, M, M]
+        # o[g,i,j,:] = spatial + sea, materialized once per layer;
+        # torch-order head split of v: [mult*D] -> [H, mult*D/H]
+        sea = (attn[..., None]
+               * v.reshape(G, 1, M, H, (mult * D) // H))
+        o = (t_filter * x_g[:, None, :, :] * env[..., None]
+             + sea.reshape(G, M, M, mult * D))
+
+        o_s = o[..., :D]
+        d_h = jnp.sum(o_s, axis=2)  # [G, M, D]
+
+        # steerable updates, per degree: contraction over j on the MXU
+        off = D
+        dX_blocks = []
+        for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
+            if cfg.sep_dir:
+                o_d_l = o[..., off + l * D: off + (l + 1) * D]
+            else:
+                o_d_l = o[..., off: off + D]
+            dX_blocks.append(
+                jnp.einsum("gijm,gijd->gimd", rl_ij[..., lo:hi], o_d_l))
+        off += (cfg.lmax if cfg.sep_dir else 1) * D
+        for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
+            if cfg.sep_tensor:
+                o_t_l = o[..., off + l * D: off + (l + 1) * D]
+            else:
+                o_t_l = o[..., off: off + D]
+            dX_blocks[l] = dX_blocks[l] + jnp.einsum(
+                "gjmd,gijd->gimd", X[..., lo:hi, :], o_t_l)
+        dX = jnp.concatenate(dX_blocks, axis=2)
+
+        h = h + d_h
+        X = X + dX
+
+        # ---- HTR edge update (expanded rejection) --------------------
+        if not self.last_layer and cfg.edge_updates:
+            EQ = Dense(evec_dim, use_bias=False, activation=None,
+                       **dense_kw, name="W_vq")(X)  # [G, M, L, C]
+            if cfg.sep_htr:
+                blocks = []
+                for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
+                    blocks.append(Dense(
+                        evec_dim, use_bias=False, activation=None,
+                        **dense_kw, name=f"W_vk_{l}")(X[..., lo:hi, :]))
+                EK = jnp.concatenate(blocks, axis=2)
+            else:
+                EK = Dense(evec_dim, use_bias=False, activation=None,
+                           **dense_kw, name="W_vk")(X)
+
+            def pair_terms(lo, hi):
+                eq, ek = EQ[..., lo:hi, :], EK[..., lo:hi, :]
+                r = rl_ij[..., lo:hi]
+                S = jnp.einsum("gimc,gjmc->gijc", eq, ek)
+                if not info["rej"]:
+                    return S
+                pq = jnp.einsum("gimc,gijm->gijc", eq, r)
+                pk = jnp.einsum("gjmc,gijm->gijc", ek, r)
+                r2 = jnp.sum(r ** 2, axis=-1)[..., None]
+                return S - pq * pk * (2.0 - r2)
+
+            if cfg.sep_htr:
+                w_ij = sum(pair_terms(lo, hi)
+                           for lo, hi in degree_slices(cfg.lmax))
+            else:
+                w_ij = pair_terms(0, rl_ij.shape[-1])
+
+            if info["mlp"] or info["mlpa"]:
+                gamma_t = MLP([D, emlp_dim, D], activation=act,
+                              last_activation=None if info["mlp"] else act,
+                              norm=cfg.edge_ln, **dense_kw, name="gamma_t")
+            else:
+                gamma_t = MLP([D, D], activation=act, last_activation=act,
+                              norm=cfg.edge_ln, **dense_kw, name="gamma_t")
+            gt = gamma_t(t_ij)
+
+            gw = w_ij
+            if info["lin_w"] > 0:
+                if info["lin_ln"] == 1:
+                    gw = fnn.LayerNorm(epsilon=1e-5, name="gamma_w_ln")(gw)
+                if info["lin_w"] % 10 == 2:
+                    gw = act(gw)
+                gw = Dense(D, activation=None,
+                           norm="layer" if info["lin_ln"] == 2 else "",
+                           **dense_kw, name="W_edp")(gw)
+            if info["gated"] == "gatedt":
+                gw = jnp.tanh(gw)
+            elif info["gated"] == "gated":
+                gw = jax.nn.sigmoid(gw)
+            elif info["gated"] == "act":
+                gw = jax.nn.silu(gw)
+
+            t_ij = t_ij + gt * gw
+
+        return h, X, t_ij
+
+
+class GotenNetDense(fnn.Module):
+    """Full dense-layout stack; parameter tree identical to GotenNet."""
+
+    cfg: GotenNetConfig
+
+    @fnn.compact
+    def __call__(self, batch: DenseBatch,
+                 deterministic: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        z, pos, mask = batch.z, batch.pos, batch.mask
+        G, M = z.shape
+        D = cfg.n_atom_basis
+
+        # pair geometry
+        vec = pos[:, None, :, :] - pos[:, :, None, :]  # [G,i,j,3] = p_j - ...
+        # edge_vec convention: pos[src=j] - pos[dst=i]
+        d2 = jnp.sum(vec ** 2, axis=-1)
+        eye = jnp.eye(M, dtype=bool)[None]
+        both = mask[:, :, None] & mask[:, None, :]
+        adj = both & ~eye & (d2 < cfg.cutoff ** 2)      # non-loop pairs
+        pair_mask = adj | (eye & mask[:, :, None] & mask[:, None, :])
+        dist = jnp.where(adj, jnp.sqrt(jnp.where(adj, d2, 1.0)), 0.0)
+        vec_n = jnp.where(adj[..., None],
+                          vec / jnp.where(adj, dist, 1.0)[..., None], 0.0)
+
+        a_na = self.param("A_na", _zero_padded_embed_init,
+                          (cfg.max_z, D), jnp.float32)
+        h = a_na[z]  # [G, M, D]
+
+        rbf_params, rbf_fn = get_rbf(cfg.radial_basis, cfg.n_rbf, cfg.cutoff)
+        phi = rbf_fn(dist, rbf_params)  # [G, M, M, R]
+
+        h = NodeInitDense(cfg, name="node_init")(z, h, dist, phi,
+                                                 adj.astype(h.dtype))
+        t_ij = EdgeInitDense(cfg, name="edge_init")(phi, h)
+        rl_ij = spherical_harmonics(vec_n, cfg.lmax)  # [G, M, M, L]
+
+        # per-source real-edge counts -> per-pair n_edges (src axis = j)
+        counts_src = jnp.sum(pair_mask.astype(h.dtype), axis=1)  # [G, M]
+        n_edges = jnp.broadcast_to(counts_src[:, None, :], (G, M, M))
+
+        X = jnp.zeros((G, M, cfg.sh_dim, D), h.dtype)
+        gata_cls = fnn.remat(GATADense) if cfg.remat else GATADense
+        for i in range(cfg.n_interactions):
+            h, X, t_ij = gata_cls(
+                cfg, last_layer=(i == cfg.n_interactions - 1),
+                deterministic=deterministic, name=f"gata_{i}")(
+                    h, X, t_ij, rl_ij, dist, pair_mask, n_edges)
+            h, X = EQFF(cfg, name=f"eqff_{i}")(h, X)
+
+        return h, X

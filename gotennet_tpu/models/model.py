@@ -65,16 +65,32 @@ class GotenModel(fnn.Module):
     Returns at least ``{'property': [G, n_out]}`` plus head-specific
     extras; also exposes the raw ``(h, X)`` under ``representation`` /
     ``vector_representation`` like the reference batch attributes.
+
+    ``layout`` selects the representation implementation:
+    'edge' (flat edge list — large molecules, edge partitioning) or
+    'dense' (batched [G, M, M] blocks — small molecules, MXU-bound).
+    Both share one parameter tree; checkpoints are interchangeable.
     """
 
     cfg: GotenNetConfig
     head: HeadConfig
+    layout: str = "edge"
 
     @fnn.compact
-    def __call__(self, batch: GraphBatch,
+    def __call__(self, batch,
                  deterministic: bool = True) -> Dict[str, jnp.ndarray]:
-        h, X = GotenNet(self.cfg, name="representation").from_batch(
-            batch, deterministic=deterministic)
+        if self.layout == "dense":
+            from gotennet_tpu.graph.dense_batch import flatten_nodes
+            from gotennet_tpu.models.gotennet_dense import GotenNetDense
+            h, X = GotenNetDense(self.cfg, name="representation")(
+                batch, deterministic=deterministic)
+            g, m = h.shape[:2]
+            h = h.reshape(g * m, -1)
+            X = X.reshape(g * m, X.shape[2], X.shape[3])
+            batch = flatten_nodes(batch)
+        else:
+            h, X = GotenNet(self.cfg, name="representation").from_batch(
+                batch, deterministic=deterministic)
         hc = self.head
         if hc.kind == "atomwise":
             out = Atomwise(

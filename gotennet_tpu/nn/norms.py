@@ -23,8 +23,8 @@ _EPS = 1e-12
 
 
 def tensor_max_min_norm(block: jnp.ndarray) -> jnp.ndarray:
-    """Max-min normalize one degree block ``[N, 2l+1, D]``."""
-    dist = jnp.sqrt(jnp.sum(block ** 2, axis=1, keepdims=True))  # [N,1,D]
+    """Max-min normalize one degree block ``[..., 2l+1, D]``."""
+    dist = jnp.sqrt(jnp.sum(block ** 2, axis=-2, keepdims=True))  # [...,1,D]
     dist = jnp.maximum(dist, _EPS)
     direct = block / dist
     max_val = jnp.max(dist, axis=-1, keepdims=True)  # [N,1,1]
@@ -47,12 +47,12 @@ class TensorLayerNorm(fnn.Module):
     @fnn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         parts = [
-            tensor_max_min_norm(x[:, lo:hi, :])
+            tensor_max_min_norm(x[..., lo:hi, :])
             for lo, hi in degree_slices(self.lmax)
         ]
-        out = jnp.concatenate(parts, axis=1)
+        out = jnp.concatenate(parts, axis=-2)
         if self.trainable:
             w = self.param("weight", fnn.initializers.ones,
                            (self.hidden_channels,), self.param_dtype)
-            out = out * w[None, None, :]
+            out = out * w
         return out

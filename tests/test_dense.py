@@ -1,0 +1,77 @@
+"""Dense-block layout vs edge-list layout: identical parameter trees,
+identical outputs (the edge-list path is the oracle)."""
+
+import jax
+import numpy as np
+import pytest
+
+from gotennet_tpu.graph.dense_batch import collate_dense, flatten_nodes
+from gotennet_tpu.graph.neighborlist import collate_graphs
+from gotennet_tpu.models.gotennet import GotenNet, GotenNetConfig
+from gotennet_tpu.models.gotennet_dense import GotenNetDense
+
+
+def _graphs(rng, sizes=(5, 7, 9)):
+    return [
+        dict(z=rng.integers(1, 10, size=m),
+             pos=rng.standard_normal((m, 3)) * 1.5, y=[0.0])
+        for m in sizes
+    ]
+
+
+@pytest.mark.parametrize("cfg", [
+    GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2, n_rbf=8,
+                   num_heads=4),
+    GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=1, n_rbf=8,
+                   num_heads=4, sep_dir=False, sep_tensor=False,
+                   scale_edge=True),
+    GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=3, n_rbf=8,
+                   num_heads=4, edge_updates="gated_linw_mlp",
+                   sep_htr=False),
+    GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2, n_rbf=8,
+                   num_heads=4, layernorm="layer", steerable_norm="norm",
+                   edge_updates="norej"),
+])
+def test_dense_matches_edge_list(cfg):
+    rng = np.random.default_rng(0)
+    graphs = _graphs(rng)
+    eb = collate_graphs(graphs, 32, 256, 4, cutoff=cfg.cutoff,
+                        max_num_neighbors=32)
+    db = collate_dense(graphs, 4, 12)
+
+    edge_model = GotenNet(cfg)
+    dense_model = GotenNetDense(cfg)
+    params = edge_model.init(jax.random.PRNGKey(0), eb,
+                             method=GotenNet.from_batch)
+    params_d = dense_model.init(jax.random.PRNGKey(0), db)
+    # identical parameter trees (names and shapes)
+    ref = jax.tree_util.tree_structure(params)
+    assert jax.tree_util.tree_structure(params_d) == ref
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params_d)):
+        assert a.shape == b.shape
+
+    h_e, X_e = edge_model.apply(params, eb, method=GotenNet.from_batch)
+    h_d, X_d = dense_model.apply(params, db)
+
+    h_e, X_e = np.asarray(h_e), np.asarray(X_e)
+    h_d, X_d = np.asarray(h_d), np.asarray(X_d)
+    # compare real atoms: edge layout is concatenated, dense is [G, M]
+    off = 0
+    for g, gr in enumerate(graphs):
+        m = len(gr["z"])
+        np.testing.assert_allclose(h_d[g, :m], h_e[off:off + m],
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(X_d[g, :m], X_e[off:off + m],
+                                   rtol=2e-4, atol=2e-5)
+        off += m
+
+
+def test_flatten_nodes_view():
+    rng = np.random.default_rng(1)
+    graphs = _graphs(rng, sizes=(3, 4))
+    db = collate_dense(graphs, 2, 6, y_dim=1)
+    fb = flatten_nodes(db)
+    assert fb.z.shape == (12,)
+    assert int(fb.node_mask.sum()) == 7
+    np.testing.assert_array_equal(np.asarray(fb.node_graph[:6]), 0)
+    np.testing.assert_array_equal(np.asarray(fb.node_graph[6:]), 1)
