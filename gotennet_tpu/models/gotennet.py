@@ -135,6 +135,12 @@ class GotenNetConfig:
     # every layer — the difference between fitting batch-256 QM9 on one
     # v5e chip and OOM.
     remat: bool = True
+    # Storage dtype for the large per-pair tensors in the dense layout
+    # (t_filter / o / sea).  bfloat16 halves HBM traffic on the
+    # bandwidth-bound hot path; attention logits, softmax and all
+    # accumulations stay float32.  float32 (default) is bit-parity with
+    # the edge-list path and the reference.
+    pair_dtype: Any = jnp.float32
 
     @property
     def sh_dim(self) -> int:

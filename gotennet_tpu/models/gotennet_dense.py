@@ -121,13 +121,16 @@ class GATADense(fnn.Module):
         v = Dense(D, activation=act, **dense_kw, name="gamma_v_0")(h)
         v = Dense(mult * D, activation=None, **dense_kw, name="gamma_v_1")(v)
 
-        t_attn = Dense(D, activation=act, **dense_kw, name="W_re")(t_ij)
-        t_filter = Dense(mult * D, activation=None, **dense_kw,
+        pd = cfg.pair_dtype  # storage dtype for big per-pair tensors
+        t_attn = Dense(D, activation=act, **dense_kw, dtype=pd,
+                       name="W_re")(t_ij)
+        t_filter = Dense(mult * D, activation=None, **dense_kw, dtype=pd,
                          name="W_rs")(t_ij)  # [G, M, M, mult*D]
 
         # ---- attention: SDDMM logits + masked softmax over j ---------
-        logit = jnp.einsum("gihd,gjhd,gijhd->gijh", q, k,
-                           t_attn.reshape(G, M, M, H, Dh))
+        logit = jnp.einsum("gihd,gjhd,gijhd->gijh", q.astype(pd),
+                           k.astype(pd), t_attn.reshape(G, M, M, H, Dh),
+                           preferred_element_type=jnp.float32)
         logit = jnp.where(pair_mask[..., None], logit, _NEG)
         lmaxv = jax.lax.stop_gradient(jnp.max(logit, axis=2, keepdims=True))
         expd = jnp.exp(logit - lmaxv) * pair_mask[..., None]
@@ -146,18 +149,22 @@ class GATADense(fnn.Module):
                 "use the edge-list model for mean/max")
 
         # ---- pair features + aggregation over j ----------------------
-        env = cosine_cutoff(dist, cfg.cutoff) * pair_mask  # [G, M, M]
+        env = (cosine_cutoff(dist, cfg.cutoff) * pair_mask).astype(pd)
         # o[g,i,j,:] = spatial + sea, materialized once per layer;
         # torch-order head split of v: [mult*D] -> [H, mult*D/H]
-        sea = (attn[..., None]
-               * v.reshape(G, 1, M, H, (mult * D) // H))
-        o = (t_filter * x_g[:, None, :, :] * env[..., None]
+        sea = (attn.astype(pd)[..., None]
+               * v.astype(pd).reshape(G, 1, M, H, (mult * D) // H))
+        o = (t_filter * x_g.astype(pd)[:, None, :, :] * env[..., None]
              + sea.reshape(G, M, M, mult * D))
 
         o_s = o[..., :D]
-        d_h = jnp.sum(o_s, axis=2)  # [G, M, D]
+        d_h = jnp.einsum("gijd->gid", o_s,
+                         preferred_element_type=jnp.float32)
 
         # steerable updates, per degree: contraction over j on the MXU
+        # (bf16 operands, f32 accumulation when pair_dtype is bf16)
+        rl_p = rl_ij.astype(pd)
+        X_p = X.astype(pd)
         off = D
         dX_blocks = []
         for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
@@ -166,7 +173,8 @@ class GATADense(fnn.Module):
             else:
                 o_d_l = o[..., off: off + D]
             dX_blocks.append(
-                jnp.einsum("gijm,gijd->gimd", rl_ij[..., lo:hi], o_d_l))
+                jnp.einsum("gijm,gijd->gimd", rl_p[..., lo:hi], o_d_l,
+                           preferred_element_type=jnp.float32))
         off += (cfg.lmax if cfg.sep_dir else 1) * D
         for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
             if cfg.sep_tensor:
@@ -174,7 +182,8 @@ class GATADense(fnn.Module):
             else:
                 o_t_l = o[..., off: off + D]
             dX_blocks[l] = dX_blocks[l] + jnp.einsum(
-                "gjmd,gijd->gimd", X[..., lo:hi, :], o_t_l)
+                "gjmd,gijd->gimd", X_p[..., lo:hi, :], o_t_l,
+                preferred_element_type=jnp.float32)
         dX = jnp.concatenate(dX_blocks, axis=2)
 
         h = h + d_h
@@ -196,14 +205,18 @@ class GATADense(fnn.Module):
                            **dense_kw, name="W_vk")(X)
 
             def pair_terms(lo, hi):
-                eq, ek = EQ[..., lo:hi, :], EK[..., lo:hi, :]
-                r = rl_ij[..., lo:hi]
-                S = jnp.einsum("gimc,gjmc->gijc", eq, ek)
+                eq = EQ[..., lo:hi, :].astype(pd)
+                ek = EK[..., lo:hi, :].astype(pd)
+                r = rl_ij[..., lo:hi].astype(pd)
+                S = jnp.einsum("gimc,gjmc->gijc", eq, ek,
+                               preferred_element_type=jnp.float32)
                 if not info["rej"]:
                     return S
-                pq = jnp.einsum("gimc,gijm->gijc", eq, r)
-                pk = jnp.einsum("gjmc,gijm->gijc", ek, r)
-                r2 = jnp.sum(r ** 2, axis=-1)[..., None]
+                pq = jnp.einsum("gimc,gijm->gijc", eq, r,
+                                preferred_element_type=jnp.float32)
+                pk = jnp.einsum("gjmc,gijm->gijc", ek, r,
+                                preferred_element_type=jnp.float32)
+                r2 = jnp.sum(rl_ij[..., lo:hi] ** 2, axis=-1)[..., None]
                 return S - pq * pk * (2.0 - r2)
 
             if cfg.sep_htr:

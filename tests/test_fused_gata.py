@@ -1,0 +1,90 @@
+"""Fused Pallas dense-GATA kernel vs plain-jnp oracle (interpret mode)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gotennet_tpu.ops.pallas.fused_gata import fused_gata_message
+from gotennet_tpu.ops.spherical import degree_slices
+
+
+def _oracle(t, q, k, xg, v, rl, X, env_signed, scale, W_re, b_re, W_rs,
+            b_rs, lmax, H, sep_dir, sep_tensor):
+    G, M, _, D = t.shape
+    mult = W_rs.shape[1] // D
+    valid = env_signed >= 0
+    env = np.maximum(env_signed, 0.0)
+    ta = t @ W_re + b_re
+    ta = ta / (1 + np.exp(-ta)) * 1.0  # silu: x*sigmoid(x)
+    ta = (t @ W_re + b_re)
+    ta = ta * (1 / (1 + np.exp(-ta)))
+    tf = t @ W_rs + b_rs
+    Dh = D // H
+    ta5 = ta.reshape(G, M, M, H, Dh)
+    logits = np.einsum("gihd,gjhd,gijhd->gijh", q.reshape(G, M, H, Dh),
+                       k.reshape(G, M, H, Dh), ta5)
+    logits = np.where(valid[..., None], logits, -1e30)
+    mx = logits.max(axis=2, keepdims=True)
+    ex = np.exp(logits - mx) * valid[..., None]
+    attn = ex / (ex.sum(axis=2, keepdims=True) + 1e-16)
+    attn = attn * scale[..., None]
+    e_per = (mult * D) // H
+    head_of = np.arange(mult * D) // e_per
+    attn_full = attn[..., head_of]
+    o = (tf * xg[:, None, :, :] * env[..., None]
+         + attn_full * v[:, None, :, :])
+    d_h = o[..., :D].sum(axis=2)
+    off = D
+    blocks = []
+    for l, (lo, hi) in enumerate(degree_slices(lmax)):
+        o_d = o[..., off + (l * D if sep_dir else 0):
+                off + (l * D if sep_dir else 0) + D]
+        blocks.append(np.einsum("gijm,gijd->gimd", rl[..., lo:hi], o_d))
+    off += (lmax if sep_dir else 1) * D
+    for l, (lo, hi) in enumerate(degree_slices(lmax)):
+        o_t = o[..., off + (l * D if sep_tensor else 0):
+                off + (l * D if sep_tensor else 0) + D]
+        blocks[l] = blocks[l] + np.einsum("gjmd,gijd->gimd",
+                                          X[:, :, lo:hi, :], o_t)
+    dX = np.concatenate(blocks, axis=2)
+    return d_h, dX, attn
+
+
+@pytest.mark.parametrize("sep", [(True, True), (False, False)])
+def test_fused_matches_oracle(sep):
+    sep_dir, sep_tensor = sep
+    rng = np.random.default_rng(0)
+    G, M, D, H, lmax = 3, 8, 32, 4, 2
+    L = (lmax + 1) ** 2 - 1
+    mult = 3 + (lmax - 1 if sep_dir else 0) + (lmax - 1 if sep_tensor else 0)
+
+    def rand(*s):
+        return rng.standard_normal(s).astype(np.float32) * 0.3
+
+    t = rand(G, M, M, D)
+    q, k = rand(G, M, D), rand(G, M, D)
+    xg, v = rand(G, M, mult * D), rand(G, M, mult * D)
+    rl = rand(G, M, M, L)
+    X = rand(G, M, L, D)
+    valid = rng.random((G, M, M)) > 0.3
+    env = np.where(valid, rng.random((G, M, M)).astype(np.float32), -1.0)
+    scale = np.full((G, M, M), 1.0 / math.sqrt(D), np.float32)
+    W_re, b_re = rand(D, D), rand(D)
+    W_rs, b_rs = rand(D, mult * D), rand(mult * D)
+
+    d_h, dX, attn = jax.jit(
+        lambda *a: fused_gata_message(
+            *a, lmax=lmax, num_heads=H, sep_dir=sep_dir,
+            sep_tensor=sep_tensor, interpret=True))(
+        t, q, k, xg, v, rl, X, env, scale, W_re, b_re, W_rs, b_rs)
+
+    e_dh, e_dX, e_attn = _oracle(t, q, k, xg, v, rl, X, env, scale,
+                                 W_re, b_re, W_rs, b_rs, lmax, H,
+                                 sep_dir, sep_tensor)
+    np.testing.assert_allclose(np.asarray(attn), e_attn, rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_h), e_dh, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dX), e_dX, rtol=2e-4, atol=2e-4)
