@@ -19,7 +19,8 @@ measured; the separately-measured readback round-trip is subtracted.
 Env knobs: BENCH_BATCH (default 256), BENCH_STEPS (default 20),
 BENCH_MODE=train|forward (default train), BENCH_LAYOUT=dense|edge
 (default dense — batched [G,M,M] MXU formulation; 'edge' is the flat
-scatter/segment path).
+scatter/segment path), BENCH_PAIR_DTYPE=bf16|f32 (default bf16:
+pair-tensor storage dtype; matmul accumulation is always f32).
 """
 
 import json
@@ -53,6 +54,7 @@ def main():
     n_steps = int(os.environ.get("BENCH_STEPS", 20))
     mode = os.environ.get("BENCH_MODE", "train")
     layout = os.environ.get("BENCH_LAYOUT", "dense")
+    pair_dtype = os.environ.get("BENCH_PAIR_DTYPE", "bf16")
 
     from gotennet_tpu.data.dataset import (
         BatchLoader, DenseLoader, synthetic_molecules)
@@ -62,8 +64,10 @@ def main():
     from gotennet_tpu.train.optim import make_optimizer
     from gotennet_tpu.train.trainer import make_loss_fn
 
-    cfg = GotenNetConfig(n_atom_basis=256, n_interactions=4, lmax=2,
-                         n_rbf=64, num_heads=8, attn_dropout=0.0)
+    cfg = GotenNetConfig(
+        n_atom_basis=256, n_interactions=4, lmax=2, n_rbf=64, num_heads=8,
+        attn_dropout=0.0,
+        pair_dtype=jnp.bfloat16 if pair_dtype == "bf16" else jnp.float32)
     task = QM9Task("U0", dataset_meta={"mean": 0.0, "std": 1.0})
     model = GotenModel(cfg, task.build_head(), layout=layout)
 
@@ -142,6 +146,7 @@ def main():
         "real_edges": real_edges,
         "real_nodes": real_nodes,
         "layout": layout,
+        "pair_dtype": pair_dtype,
         "padded_edges": padded_pairs,
         "step_ms": round(dt * 1e3, 3),
         "rtt_ms": round(rtt * 1e3, 1),

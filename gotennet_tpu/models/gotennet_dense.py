@@ -26,6 +26,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as fnn
 
 from gotennet_tpu.graph.dense_batch import DenseBatch
@@ -110,10 +111,8 @@ class GATADense(fnn.Module):
             X = TensorLayerNorm(D, cfg.lmax, trainable=False,
                                 name="tensor_layernorm")(X)
 
-        q = Dense(D, activation=None, **dense_kw, name="W_q")(h)
+        q = Dense(D, activation=None, **dense_kw, name="W_q")(h)  # [G,M,D]
         k = Dense(D, activation=None, **dense_kw, name="W_k")(h)
-        q = q.reshape(G, M, H, Dh)
-        k = k.reshape(G, M, H, Dh)
 
         x_g = Dense(D, activation=act, **dense_kw, name="gamma_s_0")(h)
         x_g = Dense(mult * D, activation=None, **dense_kw,
@@ -128,8 +127,14 @@ class GATADense(fnn.Module):
                          name="W_rs")(t_ij)  # [G, M, M, mult*D]
 
         # ---- attention: SDDMM logits + masked softmax over j ---------
-        logit = jnp.einsum("gihd,gjhd,gijhd->gijh", q.astype(pd),
-                           k.astype(pd), t_attn.reshape(G, M, M, H, Dh),
+        # Head reduction as an indicator matmul: avoids any
+        # [..., H, Dh] reshape, which XLA lowers as costly relayouts
+        # (profiled: ~1/3 of step time in 'data formatting').
+        head_sel = jnp.asarray(
+            np.kron(np.eye(H), np.ones((Dh, 1))), pd)  # [D, H]
+        p_qk = (t_attn * q.astype(pd)[:, :, None, :]
+                * k.astype(pd)[:, None, :, :])  # [G, M, M, D]
+        logit = jnp.einsum("gijd,dh->gijh", p_qk, head_sel,
                            preferred_element_type=jnp.float32)
         logit = jnp.where(pair_mask[..., None], logit, _NEG)
         lmaxv = jax.lax.stop_gradient(jnp.max(logit, axis=2, keepdims=True))
@@ -150,12 +155,16 @@ class GATADense(fnn.Module):
 
         # ---- pair features + aggregation over j ----------------------
         env = (cosine_cutoff(dist, cfg.cutoff) * pair_mask).astype(pd)
-        # o[g,i,j,:] = spatial + sea, materialized once per layer;
-        # torch-order head split of v: [mult*D] -> [H, mult*D/H]
-        sea = (attn.astype(pd)[..., None]
-               * v.astype(pd).reshape(G, 1, M, H, (mult * D) // H))
+        # o[g,i,j,:] = spatial + sea, materialized once per layer.
+        # Per-channel attention (channel c -> head c // (mult*D/H), the
+        # torch head split) via an indicator matmul — again no reshape.
+        e_per = (mult * D) // H
+        chan_sel = jnp.asarray(
+            np.kron(np.eye(H), np.ones((1, e_per))), pd)  # [H, mult*D]
+        attn_full = jnp.einsum("gijh,hc->gijc", attn.astype(pd), chan_sel,
+                               preferred_element_type=pd)
         o = (t_filter * x_g.astype(pd)[:, None, :, :] * env[..., None]
-             + sea.reshape(G, M, M, mult * D))
+             + attn_full * v.astype(pd)[:, None, :, :])
 
         o_s = o[..., :D]
         d_h = jnp.einsum("gijd->gid", o_s,
