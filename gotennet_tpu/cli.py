@@ -151,6 +151,17 @@ def test(cfg: Dict) -> Dict[str, float]:
     return results
 
 
+def main_train(argv: Optional[List[str]] = None) -> int:
+    """Console-script entry (`train_gotennet`, mirrors the reference's
+    pyproject.toml:76)."""
+    return main(["train"] + list(sys.argv[1:] if argv is None else argv))
+
+
+def main_test(argv: Optional[List[str]] = None) -> int:
+    """Console-script entry (`test_gotennet`)."""
+    return main(["test"] + list(sys.argv[1:] if argv is None else argv))
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):

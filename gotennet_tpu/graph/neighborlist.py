@@ -99,13 +99,15 @@ def collate_graphs(
     y = np.zeros((num_graphs, y_dim), np.float32)
     dy = np.zeros((num_nodes, 3), np.float32) if with_forces else None
 
+    from gotennet_tpu.graph.native import build_edges  # native if built
+
     n_off = 0
     e_off = 0
     for g_idx, g in enumerate(graphs):
         gz = np.asarray(g["z"], np.int32)
         gpos = np.asarray(g["pos"], np.float32)
         m = gz.shape[0]
-        es, ed = build_edges_np(gpos, cutoff, loop, max_num_neighbors)
+        es, ed = build_edges(gpos, cutoff, loop, max_num_neighbors)
         ne = es.shape[0]
         if n_off + m > num_nodes:
             raise ValueError("node capacity exceeded")

@@ -29,7 +29,9 @@ __all__ = ["save_checkpoint", "load_checkpoint"]
 
 def _config_to_json(model: GotenModel) -> dict:
     cfg = dataclasses.asdict(model.cfg)
+    # dtypes aren't JSON; they are runtime policy, not architecture
     cfg.pop("dtype", None)
+    cfg.pop("pair_dtype", None)
     head = dataclasses.asdict(model.head)
     head.pop("atomref", None)
     head["activation"] = str(head["activation"]) if not isinstance(
