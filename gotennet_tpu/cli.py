@@ -42,9 +42,14 @@ def _build_data(cfg: Dict, label: str):
     if dm["dataset"] == "QM9":
         from gotennet_tpu.data.qm9 import load_qm9
         ds = load_qm9(dm["dataset_root"], label=label)
+    elif dm["dataset"] in ("rMD17", "MD17", "MD22"):
+        from gotennet_tpu.data.md17 import load_md_dataset
+        ds = load_md_dataset(dm["dataset_root"], label,
+                             max_frames=dm.get("max_frames"))
     elif dm["dataset"] == "synthetic":
         ds = synthetic_molecules(dm.get("n_molecules", 256),
-                                 seed=dm.get("seed", 1))
+                                 seed=dm.get("seed", 1),
+                                 with_forces=dm.get("with_forces", False))
     else:
         raise ValueError(f"Unknown dataset {dm['dataset']!r}")
 
@@ -58,17 +63,33 @@ def _build_data(cfg: Dict, label: str):
         use_ar = dm.get("prior_model") == "Atomref"
         mean, std = standardize_energy(ds, idx_train, use_atomref=use_ar)
 
-    cutoff = cfg["model"]["representation"]["cutoff"]
-    mk = dict(cutoff=cutoff,
-              max_num_neighbors=dm.get("max_num_neighbors", 32))
-    train_loader = BatchLoader(ds.subset(idx_train), dm["batch_size"],
-                               shuffle=True, seed=dm.get("seed", 1), **mk)
-    val_loader = BatchLoader(ds.subset(idx_val),
-                             dm.get("inference_batch_size",
-                                    dm["batch_size"]), **mk)
-    test_loader = BatchLoader(ds.subset(idx_test),
-                              dm.get("inference_batch_size",
-                                     dm["batch_size"]), **mk)
+    layout = cfg["model"].get("layout", "edge")
+    if layout == "dense":
+        from gotennet_tpu.data.dataset import DenseLoader
+        max_atoms = max((len(z) for z in ds.z), default=8)
+        mk = dict(max_atoms=((max_atoms + 7) // 8) * 8)
+        train_loader = DenseLoader(ds.subset(idx_train), dm["batch_size"],
+                                   shuffle=True, seed=dm.get("seed", 1),
+                                   **mk)
+        val_loader = DenseLoader(ds.subset(idx_val),
+                                 dm.get("inference_batch_size",
+                                        dm["batch_size"]), **mk)
+        test_loader = DenseLoader(ds.subset(idx_test),
+                                  dm.get("inference_batch_size",
+                                         dm["batch_size"]), **mk)
+    else:
+        cutoff = cfg["model"]["representation"]["cutoff"]
+        mk = dict(cutoff=cutoff,
+                  max_num_neighbors=dm.get("max_num_neighbors", 32))
+        train_loader = BatchLoader(ds.subset(idx_train), dm["batch_size"],
+                                   shuffle=True, seed=dm.get("seed", 1),
+                                   **mk)
+        val_loader = BatchLoader(ds.subset(idx_val),
+                                 dm.get("inference_batch_size",
+                                        dm["batch_size"]), **mk)
+        test_loader = BatchLoader(ds.subset(idx_test),
+                                  dm.get("inference_batch_size",
+                                         dm["batch_size"]), **mk)
     meta = {"mean": mean, "std": std, "atomref": ds.atomref}
     return train_loader, val_loader, test_loader, meta
 
@@ -79,13 +100,21 @@ def _build_model_and_trainer(cfg: Dict, meta: Dict):
     from gotennet_tpu.tasks import TASK_DICT
     from gotennet_tpu.train.trainer import Trainer, TrainerConfig
 
+    import jax.numpy as jnp
+
     mc = cfg["model"]
     rep = {k: v for k, v in mc["representation"].items()}
+    if rep.get("pair_dtype") in ("bf16", "bfloat16"):
+        rep["pair_dtype"] = jnp.bfloat16
+    else:
+        rep.pop("pair_dtype", None)
     gcfg = GotenNetConfig(**rep)
     task_cls = TASK_DICT[cfg["task"]]
-    task = task_cls(cfg["label"], dataset_meta=meta,
-                    task_config={"task_loss": mc.get("task_loss", "L1Loss")})
-    model = GotenModel(gcfg, task.build_head())
+    tkw = {"task_loss": mc.get("task_loss", "L1Loss")}
+    tkw.update(mc.get("task_config") or {})
+    task = task_cls(cfg["label"], dataset_meta=meta, task_config=tkw)
+    model = GotenModel(gcfg, task.build_head(),
+                       layout=mc.get("layout", "edge"))
 
     tr = cfg["trainer"]
     tcfg = TrainerConfig(

@@ -64,3 +64,22 @@ def test_cli_smoke_train(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "run",
                                        "test_results.json"))
     assert os.path.isdir(os.path.join(str(tmp_path), "run", "ckpt_best"))
+
+
+def test_cli_smoke_dense_layout(tmp_path):
+    cfg = load_config(CONFIG_DIR, "train.yaml",
+                      ["experiment=smoke", f"workdir={tmp_path}/run",
+                       "model.layout=dense",
+                       "model.representation.pair_dtype=bf16"])
+    results = train(cfg)
+    assert np.isfinite(results["val_loss"])
+
+
+def test_cli_smoke_force_training(tmp_path):
+    cfg = load_config(CONFIG_DIR, "train.yaml",
+                      ["experiment=smoke", f"workdir={tmp_path}/run",
+                       "task=rMD17", "datamodule.with_forces=true",
+                       "trainer.max_epochs=2"])
+    results = train(cfg)
+    assert "MeanAbsoluteError_force" in results
+    assert np.isfinite(results["MeanAbsoluteError_force"])

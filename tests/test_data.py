@@ -1,0 +1,97 @@
+"""Data ingestion: QM9 SDF parsing, MD17/MD22 NPZ + XYZ, processed
+round-trips, loaders."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gotennet_tpu.data.dataset import BatchLoader, DenseLoader, synthetic_molecules
+from gotennet_tpu.data.md17 import load_md_npz, load_md_dataset, load_xyz
+from gotennet_tpu.data.qm9 import load_qm9, qm9_atomref, save_processed_qm9
+
+_SDF_MOL = """
+ OpenBabel
+
+  3  2  0  0  0  0  0  0  0  0999 V2000
+    0.0000    0.0000    0.1173 O   0  0  0  0  0  0  0  0  0  0  0  0
+    0.0000    0.7572   -0.4692 H   0  0  0  0  0  0  0  0  0  0  0  0
+    0.0000   -0.7572   -0.4692 H   0  0  0  0  0  0  0  0  0  0  0  0
+  1  2  1  0  0  0  0
+  1  3  1  0  0  0  0
+M  END
+$$$$
+"""
+
+
+def test_qm9_sdf_parsing(tmp_path):
+    sdf = os.path.join(str(tmp_path), "gdb9.sdf")
+    csv = os.path.join(str(tmp_path), "gdb9.sdf.csv")
+    with open(sdf, "w") as f:
+        f.write(_SDF_MOL * 2)  # two identical water molecules
+    header = "mol_id," + ",".join(f"c{i}" for i in range(19))
+    row = "gdb_1," + ",".join("1.0" for _ in range(19))
+    with open(csv, "w") as f:
+        f.write(header + "\n" + row + "\n" + row.replace("_1", "_2") + "\n")
+
+    ds = load_qm9(str(tmp_path), label="homo")
+    assert len(ds) == 2
+    np.testing.assert_array_equal(ds.z[0], [8, 1, 1])
+    assert ds.pos[0].shape == (3, 3)
+    # homo (index 2) column: raw csv col 'mu'..: value 1.0 * HAR2EV
+    assert abs(float(ds.y[0, 0]) - 27.211386246) < 1e-4
+    # processed cache written and reloadable
+    assert os.path.exists(os.path.join(str(tmp_path), "qm9_processed.npz"))
+    ds2 = load_qm9(str(tmp_path), label="homo")
+    np.testing.assert_allclose(ds2.y, ds.y)
+
+
+def test_qm9_atomref():
+    t = qm9_atomref("U0")
+    assert t.shape == (100, 1)
+    assert abs(t[1, 0] - (-13.61312172)) < 1e-6
+    assert t[2, 0] == 0.0
+    assert qm9_atomref("homo") is None
+
+
+def test_md17_npz_formats(tmp_path):
+    # revised-MD17 layout
+    p1 = os.path.join(str(tmp_path), "rmd17_aspirin.npz")
+    np.savez(p1, nuclear_charges=[6, 1, 8], coords=np.zeros((5, 3, 3)),
+             energies=np.arange(5.0), forces=np.ones((5, 3, 3)))
+    ds = load_md_dataset(str(tmp_path), "aspirin")
+    assert len(ds) == 5 and ds.dy is not None
+    np.testing.assert_array_equal(ds.z[0], [6, 1, 8])
+    assert float(ds.y[3, 0]) == 3.0
+
+    # sGDML layout
+    p2 = os.path.join(str(tmp_path), "md22_AT-AT.npz")
+    np.savez(p2, z=[7, 6], R=np.zeros((4, 2, 3)), E=np.ones((4, 1)) * 2,
+             F=np.zeros((4, 2, 3)))
+    ds2 = load_md_npz(p2, max_frames=3)
+    assert len(ds2) == 3
+    assert float(ds2.y[0, 0]) == 2.0
+
+
+def test_xyz_parsing(tmp_path):
+    p = os.path.join(str(tmp_path), "mol.xyz")
+    with open(p, "w") as f:
+        f.write("2\nE=-7.5\nC 0.0 0.0 0.0\nH 1.0 0.0 0.0\n"
+                "2\nenergy = -8.25\nC 0.0 0.0 0.0\nH 0.0 1.1 0.0\n")
+    ds = load_xyz(p)
+    assert len(ds) == 2
+    np.testing.assert_array_equal(ds.z[0], [6, 1])
+    assert float(ds.y[0, 0]) == -7.5
+    assert float(ds.y[1, 0]) == -8.25
+
+
+def test_loaders_cover_dataset():
+    ds = synthetic_molecules(21, seed=0)
+    bl = BatchLoader(ds, batch_size=8)
+    seen = sum(int(np.asarray(b.graph_mask).sum()) for b in bl)
+    assert seen == 21
+    assert len(bl) == 3
+    dl = DenseLoader(ds, batch_size=8)
+    seen_d = sum(int(np.asarray(b.graph_mask).sum()) for b in dl)
+    assert seen_d == 21
+    assert dl.max_atoms % 8 == 0
