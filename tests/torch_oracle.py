@@ -1,0 +1,194 @@
+"""Pure-PyTorch oracle of the reference GotenNet forward.
+
+An independent re-derivation of the reference's math
+(/root/reference/gotennet/models/representation/gotennet.py and
+components/layers.py) in plain torch — no PyG — consuming
+reference-format state dicts (the same key naming as published
+checkpoints).  Used by tests/test_torch_parity.py to validate both the
+JAX models and utils/torch_convert.py against a second framework's
+numerics.
+
+Covers the shipped configuration space exercised by the parity tests:
+expnorm radial basis, silu/swish activation, edge_updates=True
+(default update-info), no pre-norms, aggr='add'.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import torch
+
+from gotennet_tpu.ops.spherical import degree_slices
+
+
+def _lin(x, sd, name, bias=True):
+    w = torch.as_tensor(sd[f"{name}.weight"])
+    y = x @ w.T
+    if bias:
+        y = y + torch.as_tensor(sd[f"{name}.bias"])
+    return y
+
+
+def _silu(x):
+    return x * torch.sigmoid(x)
+
+
+def _cos_cutoff(d, cutoff):
+    return 0.5 * (torch.cos(d * math.pi / cutoff) + 1.0) * (d < cutoff)
+
+
+def _expnorm(d, cutoff, n_rbf):
+    start = math.exp(-cutoff)
+    means = torch.linspace(start, 1.0, n_rbf, dtype=d.dtype)
+    beta = (2.0 / n_rbf * (1.0 - start)) ** -2
+    env = _cos_cutoff(d, cutoff)[:, None]
+    return env * torch.exp(-beta * (torch.exp(-d)[:, None] - means) ** 2)
+
+
+def _seg_softmax(logits, seg, n):
+    """PyG-style segment softmax over axis 0 (+1e-16 denominator)."""
+    neg = torch.full((n,) + logits.shape[1:], -1e30, dtype=logits.dtype)
+    mx = neg.index_reduce(0, seg, logits, "amax", include_self=True)
+    ex = torch.exp(logits - mx[seg])
+    den = torch.zeros_like(neg).index_add_(0, seg, ex)
+    return ex / (den[seg] + 1e-16)
+
+
+def _scatter_add(values, seg, n):
+    out = torch.zeros((n,) + values.shape[1:], dtype=values.dtype)
+    return out.index_add_(0, seg, values)
+
+
+def reference_forward(sd, cfg, z, pos, edge_src, edge_dst):
+    """Reference GotenNet forward (h, X) on one flat graph batch.
+
+    Args:
+        sd: reference-format state dict (numpy arrays).
+        cfg: GotenNetConfig (subset supported, see module docstring).
+        z: [N] atomic numbers; edge_src/edge_dst: [E] int (real edges
+            only, destination = center, self-loops included).
+    """
+    from gotennet_tpu.ops.spherical import spherical_harmonics
+    import jax.numpy as jnp
+
+    assert cfg.activation in ("swish", "silu")
+    torch_z = torch.as_tensor(np.asarray(z), dtype=torch.long)
+    pos = torch.as_tensor(np.asarray(pos), dtype=torch.float32)
+    src = torch.as_tensor(np.asarray(edge_src), dtype=torch.long)
+    dst = torch.as_tensor(np.asarray(edge_dst), dtype=torch.long)
+    n = pos.shape[0]
+    D = cfg.n_atom_basis
+    H = cfg.num_heads
+    mult = cfg.multiplier
+    L = cfg.sh_dim
+
+    vec = pos[src] - pos[dst]
+    nonloop = src != dst
+    d = torch.zeros(src.shape[0])
+    d[nonloop] = torch.linalg.norm(vec[nonloop], dim=-1)
+
+    h = torch.as_tensor(sd["A_na.weight"])[torch_z]
+    phi = _expnorm(d, cfg.cutoff, cfg.n_rbf)
+
+    # NodeInit (self-loops stripped)
+    h_src_emb = torch.as_tensor(sd["node_init.A_nbr.weight"])[torch_z]
+    r_feat = _lin(phi, sd, "node_init.W_ndp.dense_layers.0") \
+        * _cos_cutoff(d, cfg.cutoff)[:, None]
+    msg = h_src_emb[src] * r_feat
+    m_i = _scatter_add(msg[nonloop], dst[nonloop], n)
+    fused = torch.cat([h, m_i], dim=-1)
+    y = _lin(fused, sd, "node_init.W_nrd_nru.dense_layers.0")
+    y = torch.nn.functional.layer_norm(
+        y, (D,), torch.as_tensor(sd["node_init.W_nrd_nru.dense_layers.0.norm.weight"]),
+        torch.as_tensor(sd["node_init.W_nrd_nru.dense_layers.0.norm.bias"]),
+        eps=1e-5)
+    y = _silu(y)
+    h = _lin(y, sd, "node_init.W_nrd_nru.dense_layers.1")
+
+    # EdgeInit
+    t = (h[dst] + h[src]) * _lin(phi, sd, "edge_init.W_erp")
+
+    # geometry
+    vec_n = vec.clone()
+    vec_n[nonloop] = vec[nonloop] / d[nonloop, None]
+    rl = torch.as_tensor(np.asarray(
+        spherical_harmonics(jnp.asarray(vec_n.numpy()), cfg.lmax)))
+    counts = _scatter_add(torch.ones_like(d), src, n)
+    n_edges = counts[src]
+
+    X = torch.zeros(n, L, D)
+    for i in range(cfg.n_interactions):
+        g = f"gata_list.{i}"
+        q = _lin(h, sd, f"{g}.W_q").reshape(n, H, D // H)
+        k = _lin(h, sd, f"{g}.W_k").reshape(n, H, D // H)
+        xg = _lin(_silu(_lin(h, sd, f"{g}.gamma_s.0")), sd, f"{g}.gamma_s.1")
+        v = _lin(_silu(_lin(h, sd, f"{g}.gamma_v.0")), sd, f"{g}.gamma_v.1")
+        t_attn = _silu(_lin(t, sd, f"{g}.W_re"))
+        t_filter = _lin(t, sd, f"{g}.W_rs")
+
+        logit = (q[dst] * k[src]
+                 * t_attn.reshape(-1, H, D // H)).sum(-1, keepdim=True)
+        attn = _seg_softmax(logit, dst, n)
+        if cfg.scale_edge:
+            attn = attn * (torch.sqrt(n_edges)[:, None, None]
+                           / math.sqrt(D))
+        else:
+            attn = attn / math.sqrt(D)
+        sea = (attn * v[src].reshape(-1, H, (mult * D) // H)
+               ).reshape(-1, mult * D)
+        spatial = t_filter * xg[src] * _cos_cutoff(d, cfg.cutoff)[:, None]
+        o = spatial + sea
+
+        o_s = o[:, :D]
+        off = D
+        dX = torch.zeros(o.shape[0], L, D)
+        for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
+            o_d = o[:, off + (l * D if cfg.sep_dir else 0):
+                    off + (l * D if cfg.sep_dir else 0) + D]
+            dX[:, lo:hi, :] += rl[:, lo:hi, None] * o_d[:, None, :]
+        off += (cfg.lmax if cfg.sep_dir else 1) * D
+        for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
+            o_t = o[:, off + (l * D if cfg.sep_tensor else 0):
+                    off + (l * D if cfg.sep_tensor else 0) + D]
+            dX[:, lo:hi, :] += X[src][:, lo:hi, :] * o_t[:, None, :]
+
+        h = h + _scatter_add(o_s, dst, n)
+        X = X + _scatter_add(dX, dst, n)
+
+        last = i == cfg.n_interactions - 1
+        if not last and cfg.edge_updates:
+            EQ = X @ torch.as_tensor(sd[f"{g}.W_vq.weight"]).T
+            if cfg.sep_htr:
+                EK = torch.cat([
+                    X[:, lo:hi, :] @ torch.as_tensor(
+                        sd[f"{g}.W_vk.{l}.weight"]).T
+                    for l, (lo, hi) in enumerate(degree_slices(cfg.lmax))
+                ], dim=1)
+            else:
+                EK = X @ torch.as_tensor(sd[f"{g}.W_vk.weight"]).T
+
+            def reject(rep, r):
+                proj = (rep * r[:, :, None]).sum(1, keepdim=True)
+                return rep - proj * r[:, :, None]
+
+            w_ij = 0.0
+            for lo, hi in degree_slices(cfg.lmax):
+                eq = reject(EQ[dst][:, lo:hi], rl[:, lo:hi])
+                ek = reject(EK[src][:, lo:hi], -rl[:, lo:hi])
+                w_ij = w_ij + (eq * ek).sum(1)
+            gt = _silu(_lin(t, sd, f"{g}.gamma_t.dense_layers.0"))
+            t = t + gt * w_ij
+
+        e = f"eqff_list.{i}"
+        X_p = X @ torch.as_tensor(sd[f"{e}.W_vu.weight"]).T
+        X_pn = torch.sqrt((X_p ** 2).sum(-2) + cfg.epsilon)
+        ctx = torch.cat([h, X_pn], dim=-1)
+        mm = _lin(_silu(_lin(ctx, sd, f"{e}.gamma_m.0")), sd,
+                  f"{e}.gamma_m.1")
+        m1, m2 = mm[:, :D], mm[:, D:]
+        h = h + m1
+        X = X + m2[:, None, :] * X_p
+
+    return h, X
