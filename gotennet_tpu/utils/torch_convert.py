@@ -20,6 +20,7 @@ here and are skipped.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict
 
 import numpy as np
@@ -27,7 +28,8 @@ import numpy as np
 from gotennet_tpu.models.gotennet import GotenNetConfig, parse_edge_updates
 from gotennet_tpu.ops.spherical import degree_slices
 
-__all__ = ["params_to_state_dict", "state_dict_to_params"]
+__all__ = ["params_to_state_dict", "state_dict_to_params",
+           "load_reference_checkpoint"]
 
 
 def _dense(torch_name, jax_tree, bias=True, norm=False):
@@ -143,3 +145,32 @@ def state_dict_to_params(sd: Dict[str, np.ndarray], cfg: GotenNetConfig,
             arr = arr.T
         _set(tree, jax_path, arr)
     return tree
+
+
+def load_reference_checkpoint(path: str):
+    """Load a reference Lightning checkpoint (.ckpt) into this
+    framework: returns ``(cfg, {'params': tree})`` for the bare
+    ``GotenNet`` representation (nest the tree under 'representation'
+    to feed a ``GotenModel``).
+
+    The checkpoint carries its representation hyper-parameters
+    (reference ``save_hyperparameters``, goten_model.py:116) — the
+    same config-in-checkpoint capability our own orbax checkpoints
+    have — so no external configuration is needed.  Output-head
+    weights are reference-version specific and are not converted yet.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    hp = ckpt.get("hyper_parameters", {})
+    rep_cfg = dict(hp.get("representation", {}))
+    for k in ("_target_", "__target__", "cutoff_fn"):
+        rep_cfg.pop(k, None)
+    rep_cfg.setdefault("cutoff", float(hp.get("cutoff", 5.0)))
+    known = {f.name for f in dataclasses.fields(GotenNetConfig)}
+    cfg = GotenNetConfig(**{k: v for k, v in rep_cfg.items() if k in known})
+
+    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+          for k, v in ckpt["state_dict"].items()}
+    tree = state_dict_to_params(sd, cfg)
+    return cfg, {"params": tree}

@@ -77,3 +77,38 @@ def test_state_dict_round_trip():
     h1, X1 = model.apply(restored, batch, method=GotenNet.from_batch)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(X1), np.asarray(X0), rtol=1e-6)
+
+
+def test_load_reference_lightning_checkpoint(tmp_path):
+    """A fabricated reference-format .ckpt round-trips into our model."""
+    import os
+    import torch
+
+    cfg = GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2,
+                         n_rbf=8, num_heads=4)
+    rng = np.random.default_rng(3)
+    batch = collate_graphs(_graphs(rng), 16, 128, 2, cutoff=cfg.cutoff)
+    model = GotenNet(cfg)
+    params = model.init(jax.random.PRNGKey(4), batch,
+                        method=GotenNet.from_batch)
+    sd = params_to_state_dict(params, cfg, prefix="representation.")
+    ckpt = {
+        "hyper_parameters": {
+            "cutoff": 5.0,
+            "representation": {
+                "__target__": "gotennet.models.representation.gotennet.GotenNetWrapper",
+                "n_atom_basis": 32, "n_interactions": 2, "lmax": 2,
+                "n_rbf": 8, "num_heads": 4,
+            },
+        },
+        "state_dict": {k: torch.as_tensor(v.copy()) for k, v in sd.items()},
+    }
+    path = os.path.join(str(tmp_path), "ref.ckpt")
+    torch.save(ckpt, path)
+
+    from gotennet_tpu.utils.torch_convert import load_reference_checkpoint
+    cfg2, params2 = load_reference_checkpoint(path)
+    assert cfg2.n_atom_basis == 32 and cfg2.lmax == 2
+    h0, X0 = model.apply(params, batch, method=GotenNet.from_batch)
+    h1, X1 = GotenNet(cfg2).apply(params2, batch, method=GotenNet.from_batch)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=1e-6)
