@@ -56,6 +56,8 @@ class TrainerConfig:
     seed: int = 1
     log_every: int = 50
     workdir: str = "runs/default"
+    tensorboard: bool = False           # also write TB event files
+    resume: bool = False                # resume params from ckpt_last
 
 
 def make_loss_fn(model: GotenModel, task) -> Callable:
@@ -98,6 +100,13 @@ class Trainer:
                                     cfg.lr_minlr)
         os.makedirs(cfg.workdir, exist_ok=True)
         self._log_f = open(os.path.join(cfg.workdir, "metrics.jsonl"), "a")
+        self._tb = None
+        if cfg.tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(cfg.workdir, "tb"))
+            except ImportError:
+                pass
 
     # ---- step builders -------------------------------------------------
     def _build_train_step(self):
@@ -171,9 +180,14 @@ class Trainer:
     def fit(self, params, train_loader: Iterable, val_loader: Iterable,
             max_steps: Optional[int] = None):
         cfg = self.cfg
+        step = 0
+        if cfg.resume:
+            last = os.path.join(cfg.workdir, "ckpt_last")
+            if os.path.isdir(last):
+                from gotennet_tpu.train.checkpoint import load_checkpoint
+                _, params, step = load_checkpoint(last)
         opt_state = self.tx.init(params)
         rng = jax.random.PRNGKey(cfg.seed)
-        step = 0
         best_metric = math.inf
         bad_epochs = 0
         history = []
@@ -250,3 +264,12 @@ class Trainer:
             {k: (float(v) if isinstance(v, (int, float, np.floating))
                  else v) for k, v in record.items()}) + "\n")
         self._log_f.flush()
+        if self._tb is not None:
+            step = int(record.get("step", 0))
+            phase = record.get("phase", "misc")
+            for k, v in record.items():
+                if k in ("phase", "step", "epoch"):
+                    continue
+                if isinstance(v, (int, float, np.floating)) and \
+                        np.isfinite(float(v)):
+                    self._tb.add_scalar(f"{phase}/{k}", float(v), step)
