@@ -199,13 +199,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     mode = argv[0]
     overrides = argv[1:]
     root = "train.yaml"
-    cfg = load_config(CONFIG_DIR, root, overrides)
     if mode == "train":
-        train(cfg)
+        train(load_config(CONFIG_DIR, root, overrides))
     elif mode == "test":
-        test(cfg)
+        test(load_config(CONFIG_DIR, root, overrides))
+    elif mode == "sweep":
+        # comma-separated override values expand to a cartesian grid
+        from gotennet_tpu.utils.sweep import run_sweep
+        # each trial's overrides already cover every swept key
+        run_sweep(
+            train, lambda extra: load_config(CONFIG_DIR, root, extra),
+            overrides, sweep_dir="runs/sweep",
+            metric="MeanAbsoluteError")
     else:
-        raise SystemExit(f"unknown mode {mode!r}; use train|test")
+        raise SystemExit(f"unknown mode {mode!r}; use train|test|sweep")
     return 0
 
 
