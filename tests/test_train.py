@@ -111,3 +111,36 @@ def test_force_training_step(tmp_path):
     params, history = trainer.fit(params, loader, loader)
     assert np.isfinite(history[-1]["val_loss"])
     assert "MeanAbsoluteError_force" in history[-1]
+
+
+def test_grad_accumulation_matches_big_batch(tmp_path):
+    """4 accumulated chunks == the averaged-gradient update."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from gotennet_tpu.train.optim import make_optimizer
+    from gotennet_tpu.train.trainer import make_loss_fn
+
+    model, task, loader, _ = _setup(tmp_path, n=16)
+    batches = list(loader)[:2]
+    params = model.init(jax.random.PRNGKey(0), batches[0])
+    loss_fn = make_loss_fn(model, task)
+
+    # reference first: the trainer step donates params/opt_state buffers
+    def total(p):
+        return sum(loss_fn(p, b, None, True)[0] for b in batches) / 2
+    g = jax.grad(total)(params)
+    tx = make_optimizer(1e-3, 0.0, grad_clip=None)
+    u, _ = tx.update(g, tx.init(params), params)
+    p_ref = optax.apply_updates(params, u)
+
+    tcfg = TrainerConfig(lr=1e-3, workdir=str(tmp_path), scheduler="none",
+                         grad_accum_steps=2, grad_clip=None)
+    trainer = Trainer(model, task, tcfg)
+    opt_state = trainer.tx.init(params)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    p1, _, _, logs = trainer._train_step(params, opt_state, stacked,
+                                         jax.random.PRNGKey(3), 1.0)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
