@@ -20,7 +20,10 @@ Env knobs: BENCH_BATCH (default 256), BENCH_STEPS (default 20),
 BENCH_MODE=train|forward (default train), BENCH_LAYOUT=dense|edge
 (default dense — batched [G,M,M] MXU formulation; 'edge' is the flat
 scatter/segment path), BENCH_PAIR_DTYPE=bf16|f32 (default bf16:
-pair-tensor storage dtype; matmul accumulation is always f32).
+pair-tensor storage dtype; matmul accumulation is always f32),
+BENCH_CHUNK (default 8): graphs per gradient-accumulation chunk —
+the optimizer still steps once per 256-graph batch; small chunks let
+XLA keep the pair tensors VMEM-resident (measured optimum ~4-8).
 """
 
 import json
@@ -55,6 +58,10 @@ def main():
     mode = os.environ.get("BENCH_MODE", "train")
     layout = os.environ.get("BENCH_LAYOUT", "dense")
     pair_dtype = os.environ.get("BENCH_PAIR_DTYPE", "bf16")
+    chunk = int(os.environ.get("BENCH_CHUNK", 8 if layout == "dense"
+                               else batch_size))
+    chunk = min(chunk, batch_size)
+    n_chunks = batch_size // chunk
 
     from gotennet_tpu.data.dataset import (
         BatchLoader, DenseLoader, synthetic_molecules)
@@ -78,13 +85,19 @@ def main():
     real_edges = int(np.asarray(eb.edge_mask).sum())
     real_nodes = int(np.asarray(eb.node_mask).sum())
     if layout == "dense":
-        batch = next(iter(DenseLoader(ds, batch_size=batch_size)))
-        padded_pairs = int(batch.num_graphs * batch.max_atoms ** 2)
+        chunks = list(DenseLoader(ds, batch_size=chunk))[:n_chunks]
+        batch = jax.tree.map(lambda *xs: jnp.stack(xs), *chunks) \
+            if n_chunks > 1 else chunks[0]
+        example = chunks[0]
+        padded_pairs = int(n_chunks * example.num_graphs
+                           * example.max_atoms ** 2)
     else:
         batch = eb
+        example = eb
         padded_pairs = int(batch.num_edges)
+        n_chunks = 1
 
-    params = model.init(jax.random.PRNGKey(0), batch)
+    params = model.init(jax.random.PRNGKey(0), example)
     loss_fn = make_loss_fn(model, task)
     rtt = _rtt_seconds()
 
@@ -97,7 +110,17 @@ def main():
             params, opt_state = carry
             rng = jax.random.fold_in(jax.random.PRNGKey(1), i)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-            (loss, _), grads = grad_fn(params, batch, rng, False)
+            if n_chunks == 1:
+                (loss, _), grads = grad_fn(params, batch, rng, False)
+            else:
+                def accum(acc, b):
+                    g_acc, l_acc = acc
+                    (l, _), g = grad_fn(params, b, rng, False)
+                    return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
+                zero = jax.tree.map(jnp.zeros_like, params)
+                (g_sum, l_sum), _ = jax.lax.scan(accum, (zero, 0.0), batch)
+                grads = jax.tree.map(lambda x: x / n_chunks, g_sum)
+                loss = l_sum / n_chunks
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -118,9 +141,17 @@ def main():
         def one_fwd(carry, i):
             # tie each iteration to the carry so XLA cannot hoist the
             # loop-invariant forward out of the scan
-            b = batch.replace(pos=batch.pos + carry * 1e-20)
-            loss, _ = loss_fn(params, b, None, True)
-            return carry + loss, None
+            if n_chunks == 1:
+                b = batch.replace(pos=batch.pos + carry * 1e-20)
+                loss, _ = loss_fn(params, b, None, True)
+                return carry + loss, None
+
+            def body(acc, ch):
+                b = ch.replace(pos=ch.pos + acc * 1e-20)
+                l, _ = loss_fn(params, b, None, True)
+                return acc + l, None
+            total, _ = jax.lax.scan(body, carry, batch)
+            return total, None
 
         @jax.jit
         def run():
@@ -147,6 +178,7 @@ def main():
         "real_nodes": real_nodes,
         "layout": layout,
         "pair_dtype": pair_dtype,
+        "accum_chunks": n_chunks,
         "padded_edges": padded_pairs,
         "step_ms": round(dt * 1e3, 3),
         "rtt_ms": round(rtt * 1e3, 1),
