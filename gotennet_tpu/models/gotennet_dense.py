@@ -167,33 +167,41 @@ class GATADense(fnn.Module):
              + attn_full * v.astype(pd)[:, None, :, :])
 
         o_s = o[..., :D]
-        d_h = jnp.einsum("gijd->gid", o_s,
-                         preferred_element_type=jnp.float32)
+        d_h = jnp.sum(o_s.astype(jnp.float32), axis=2)
 
-        # steerable updates, per degree: contraction over j on the MXU
-        # (bf16 operands, f32 accumulation when pair_dtype is bf16)
+        # Steerable updates as per-m multiply-reduce over the j axis.
+        # dot_general forms ('gijm,gijd->gimd') force XLA to relayout
+        # operands so the batch dim leads (profiled: ~40% of the
+        # chunked step in layout copies); the explicit elementwise
+        # multiply + axis-2 sum fuses with no data movement.  m ranges
+        # over at most (lmax+1)^2-1 static values.
         rl_p = rl_ij.astype(pd)
         X_p = X.astype(pd)
         off = D
-        dX_blocks = []
+        dX_cols = []
         for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
             if cfg.sep_dir:
                 o_d_l = o[..., off + l * D: off + (l + 1) * D]
             else:
                 o_d_l = o[..., off: off + D]
-            dX_blocks.append(
-                jnp.einsum("gijm,gijd->gimd", rl_p[..., lo:hi], o_d_l,
-                           preferred_element_type=jnp.float32))
+            for m in range(lo, hi):
+                dX_cols.append(jnp.sum(
+                    (rl_p[..., m:m + 1] * o_d_l).astype(jnp.float32),
+                    axis=2))
         off += (cfg.lmax if cfg.sep_dir else 1) * D
+        idx = 0
         for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
             if cfg.sep_tensor:
                 o_t_l = o[..., off + l * D: off + (l + 1) * D]
             else:
                 o_t_l = o[..., off: off + D]
-            dX_blocks[l] = dX_blocks[l] + jnp.einsum(
-                "gjmd,gijd->gimd", X_p[..., lo:hi, :], o_t_l,
-                preferred_element_type=jnp.float32)
-        dX = jnp.concatenate(dX_blocks, axis=2)
+            for m in range(lo, hi):
+                contrib = jnp.sum(
+                    (X_p[:, None, :, m, :] * o_t_l).astype(jnp.float32),
+                    axis=2)
+                dX_cols[idx] = dX_cols[idx] + contrib
+                idx += 1
+        dX = jnp.stack(dX_cols, axis=2)  # [G, M, L, D]
 
         h = h + d_h
         X = X + dX
@@ -214,19 +222,25 @@ class GATADense(fnn.Module):
                            **dense_kw, name="W_vk")(X)
 
             def pair_terms(lo, hi):
+                # per-m broadcast multiply-accumulate: einsum forms with
+                # the channel axis as a batch dim force operand
+                # relayouts (see the dX comment above)
                 eq = EQ[..., lo:hi, :].astype(pd)
                 ek = EK[..., lo:hi, :].astype(pd)
-                r = rl_ij[..., lo:hi].astype(pd)
-                S = jnp.einsum("gimc,gjmc->gijc", eq, ek,
-                               preferred_element_type=jnp.float32)
+                S = pq = pk = 0.0
+                for m in range(hi - lo):
+                    eq_m = eq[:, :, None, m, :]     # [G, i, 1, C]
+                    ek_m = ek[:, None, :, m, :]     # [G, 1, j, C]
+                    S = S + eq_m * ek_m
+                    if info["rej"]:
+                        r_m = rl_ij[..., lo + m:lo + m + 1].astype(pd)
+                        pq = pq + eq_m * r_m
+                        pk = pk + ek_m * r_m
+                S = S.astype(jnp.float32)
                 if not info["rej"]:
                     return S
-                pq = jnp.einsum("gimc,gijm->gijc", eq, r,
-                                preferred_element_type=jnp.float32)
-                pk = jnp.einsum("gjmc,gijm->gijc", ek, r,
-                                preferred_element_type=jnp.float32)
                 r2 = jnp.sum(rl_ij[..., lo:hi] ** 2, axis=-1)[..., None]
-                return S - pq * pk * (2.0 - r2)
+                return S - (pq * pk).astype(jnp.float32) * (2.0 - r2)
 
             if cfg.sep_htr:
                 w_ij = sum(pair_terms(lo, hi)
