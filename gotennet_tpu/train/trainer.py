@@ -235,11 +235,13 @@ class Trainer:
         bad_epochs = 0
         history = []
 
+        from gotennet_tpu.data.prefetch import prefetch
+
         n_accum = max(1, cfg.grad_accum_steps)
         for epoch in range(cfg.max_epochs):
             t0 = time.time()
             train_losses = []
-            for batch in _chunked(train_loader, n_accum):
+            for batch in prefetch(_chunked(train_loader, n_accum)):
                 params, opt_state, rng, logs = self._train_step(
                     params, opt_state, batch, rng, self.lr_scale(step))
                 step += 1

@@ -95,3 +95,17 @@ def test_loaders_cover_dataset():
     seen_d = sum(int(np.asarray(b.graph_mask).sum()) for b in dl)
     assert seen_d == 21
     assert dl.max_atoms % 8 == 0
+
+
+def test_prefetch_wrapper():
+    from gotennet_tpu.data.prefetch import prefetch
+    assert list(prefetch(iter(range(10)))) == list(range(10))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+    it = prefetch(boom())
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        list(it)
