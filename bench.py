@@ -23,7 +23,9 @@ scatter/segment path), BENCH_PAIR_DTYPE=bf16|f32 (default bf16:
 pair-tensor storage dtype; matmul accumulation is always f32),
 BENCH_CHUNK (default 8): graphs per gradient-accumulation chunk —
 the optimizer still steps once per 256-graph batch; small chunks let
-XLA keep the pair tensors VMEM-resident (measured optimum ~4-8).
+XLA keep the pair tensors VMEM-resident (measured optimum ~4-8),
+BENCH_DATASET=qm9|md22 (default qm9: 12-29-atom molecules, batch 256;
+md22: ~120-atom AT-AT-CG-CG-scale frames, batch 32, edge layout).
 """
 
 import json
@@ -58,6 +60,10 @@ def main():
     mode = os.environ.get("BENCH_MODE", "train")
     layout = os.environ.get("BENCH_LAYOUT", "dense")
     pair_dtype = os.environ.get("BENCH_PAIR_DTYPE", "bf16")
+    dataset = os.environ.get("BENCH_DATASET", "qm9")
+    if dataset == "md22":
+        layout = "edge"
+        batch_size = int(os.environ.get("BENCH_BATCH", 32))
     chunk = int(os.environ.get("BENCH_CHUNK", 8 if layout == "dense"
                                else batch_size))
     chunk = min(chunk, batch_size)
@@ -78,24 +84,30 @@ def main():
     task = QM9Task("U0", dataset_meta={"mean": 0.0, "std": 1.0})
     model = GotenModel(cfg, task.build_head(), layout=layout)
 
-    # QM9-like size distribution (~18 atoms mean, <=29 max)
-    ds = synthetic_molecules(batch_size, seed=0, min_atoms=12, max_atoms=29)
+    if dataset == "md22":
+        # MD22 AT-AT-CG-CG-scale frames (>100 atoms, long-range contacts)
+        ds = synthetic_molecules(batch_size, seed=0, min_atoms=110,
+                                 max_atoms=120, box=14.0)
+    else:
+        # QM9-like size distribution (~18 atoms mean, <=29 max)
+        ds = synthetic_molecules(batch_size, seed=0, min_atoms=12,
+                                 max_atoms=29)
     # real edge count (the throughput unit) always from the edge builder
     eb = next(iter(BatchLoader(ds, batch_size=batch_size, cutoff=cfg.cutoff)))
     real_edges = int(np.asarray(eb.edge_mask).sum())
     real_nodes = int(np.asarray(eb.node_mask).sum())
     if layout == "dense":
         chunks = list(DenseLoader(ds, batch_size=chunk))[:n_chunks]
-        batch = jax.tree.map(lambda *xs: jnp.stack(xs), *chunks) \
-            if n_chunks > 1 else chunks[0]
         example = chunks[0]
         padded_pairs = int(n_chunks * example.num_graphs
                            * example.max_atoms ** 2)
     else:
-        batch = eb
-        example = eb
-        padded_pairs = int(batch.num_edges)
-        n_chunks = 1
+        chunks = list(BatchLoader(ds, batch_size=chunk,
+                                  cutoff=cfg.cutoff))[:n_chunks]
+        example = chunks[0]
+        padded_pairs = int(n_chunks * example.num_edges)
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *chunks) \
+        if n_chunks > 1 else chunks[0]
 
     params = model.init(jax.random.PRNGKey(0), example)
     loss_fn = make_loss_fn(model, task)
@@ -178,6 +190,7 @@ def main():
         "real_nodes": real_nodes,
         "layout": layout,
         "pair_dtype": pair_dtype,
+        "dataset": dataset,
         "accum_chunks": n_chunks,
         "padded_edges": padded_pairs,
         "step_ms": round(dt * 1e3, 3),

@@ -142,6 +142,20 @@ class GotenNetConfig:
     # the edge-list path and the reference.
     pair_dtype: Any = jnp.float32
 
+    def __post_init__(self):
+        if self.n_atom_basis % self.num_heads:
+            raise ValueError(
+                f"n_atom_basis={self.n_atom_basis} must be divisible by "
+                f"num_heads={self.num_heads}")
+        if self.lmax < 1:
+            raise ValueError("lmax must be >= 1")
+        if (self.n_atom_basis * self.multiplier) % self.num_heads:
+            raise ValueError(
+                "multiplier * n_atom_basis must be divisible by num_heads")
+        if self.aggr not in ("add", "mean", "max"):
+            raise ValueError(f"unknown aggr {self.aggr!r}")
+        parse_edge_updates(self.edge_updates)  # validates the string
+
     @property
     def sh_dim(self) -> int:
         return num_sh_components(self.lmax)

@@ -109,3 +109,19 @@ def test_prefetch_wrapper():
     import pytest as _pytest
     with _pytest.raises(RuntimeError):
         list(it)
+
+
+def test_molecule3d_shards_roundtrip(tmp_path):
+    from gotennet_tpu.data.molecule3d import (
+        iter_shards, save_shards, shard_range_for_host)
+    ds = synthetic_molecules(25, seed=7)
+    paths = save_shards(ds, str(tmp_path), shard_size=10)
+    assert len(paths) == 3
+    # two hosts split shards disjointly and cover everything
+    r0 = shard_range_for_host(3, 0, 2)
+    r1 = shard_range_for_host(3, 1, 2)
+    assert set(r0) | set(r1) == {0, 1, 2} and not set(r0) & set(r1)
+    total = sum(len(s) for s in iter_shards(str(tmp_path)))
+    assert total == 25
+    first = next(iter_shards(str(tmp_path)))
+    np.testing.assert_array_equal(first.z[0], ds.z[0])
