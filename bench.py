@@ -62,10 +62,15 @@ def main():
     pair_dtype = os.environ.get("BENCH_PAIR_DTYPE", "bf16")
     dataset = os.environ.get("BENCH_DATASET", "qm9")
     if dataset == "md22":
-        layout = "edge"
+        # dense wins even at M=120 with ~7x pair padding (see PERF.md);
+        # set BENCH_LAYOUT=edge to measure the sparse path
+        layout = os.environ.get("BENCH_LAYOUT", "dense")
         batch_size = int(os.environ.get("BENCH_BATCH", 32))
-    chunk = int(os.environ.get("BENCH_CHUNK", 8 if layout == "dense"
-                               else batch_size))
+        default_chunk = 1
+    else:
+        default_chunk = 8
+    chunk = int(os.environ.get("BENCH_CHUNK", default_chunk
+                               if layout == "dense" else batch_size))
     chunk = min(chunk, batch_size)
     n_chunks = batch_size // chunk
 
@@ -85,9 +90,10 @@ def main():
     model = GotenModel(cfg, task.build_head(), layout=layout)
 
     if dataset == "md22":
-        # MD22 AT-AT-CG-CG-scale frames (>100 atoms, long-range contacts)
+        # MD22 AT-AT-CG-CG-scale frames: >100 atoms at condensed-phase
+        # density (~25-30 neighbors within the 5 A cutoff)
         ds = synthetic_molecules(batch_size, seed=0, min_atoms=110,
-                                 max_atoms=120, box=14.0)
+                                 max_atoms=120, box=6.3)
     else:
         # QM9-like size distribution (~18 atoms mean, <=29 max)
         ds = synthetic_molecules(batch_size, seed=0, min_atoms=12,
