@@ -75,3 +75,55 @@ def test_flatten_nodes_view():
     assert int(fb.node_mask.sum()) == 7
     np.testing.assert_array_equal(np.asarray(fb.node_graph[:6]), 0)
     np.testing.assert_array_equal(np.asarray(fb.node_graph[6:]), 1)
+
+
+def test_dense_with_dropout_trains():
+    """Dropout rngs thread through nn.remat + dense layout."""
+    import jax.numpy as jnp
+    from gotennet_tpu.models.model import GotenModel
+    from gotennet_tpu.tasks.qm9 import QM9Task
+    from gotennet_tpu.train.trainer import make_loss_fn
+
+    rng = np.random.default_rng(5)
+    graphs = _graphs(rng)
+    db = collate_dense(graphs, 4, 12)
+    cfg = GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2,
+                         n_rbf=8, num_heads=4, attn_dropout=0.25)
+    task = QM9Task("U0", dataset_meta={"mean": 0.0, "std": 1.0})
+    model = GotenModel(cfg, task.build_head(), layout="dense")
+    params = model.init(jax.random.PRNGKey(0), db)
+    loss_fn = make_loss_fn(model, task)
+    (l1, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, db, jax.random.PRNGKey(1), False)
+    (l2, _), _ = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, db, jax.random.PRNGKey(2), False)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    assert float(l1) != float(l2)  # different dropout masks
+    # deterministic path is reproducible
+    l3, _ = loss_fn(params, db, None, True)
+    l4, _ = loss_fn(params, db, None, True)
+    assert float(l3) == float(l4)
+
+
+def test_dense_rotation_equivariance():
+    rng = np.random.default_rng(6)
+    graphs = _graphs(rng)
+    q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    rot = [dict(g, pos=g["pos"] @ q.T) for g in graphs]
+    cfg = GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2,
+                         n_rbf=8, num_heads=4)
+    model = GotenNetDense(cfg)
+    db = collate_dense(graphs, 4, 12)
+    dbr = collate_dense(rot, 4, 12)
+    params = model.init(jax.random.PRNGKey(1), db)
+    h, X = model.apply(params, db)
+    hr, Xr = model.apply(params, dbr)
+    np.testing.assert_allclose(np.asarray(hr), np.asarray(h), rtol=1e-4,
+                               atol=1e-4)
+    # l=1 block rotates as a vector
+    np.testing.assert_allclose(
+        np.asarray(Xr)[..., 0:3, :],
+        np.einsum("ab,gnbc->gnac", q, np.asarray(X)[..., 0:3, :]),
+        rtol=1e-4, atol=1e-4)
