@@ -151,6 +151,12 @@ def train(cfg: Dict) -> Dict[str, float]:
 
     if cfg.get("train", True):
         params, history = trainer.fit(params, train_loader, val_loader)
+        # test the best checkpoint, like the reference
+        # (training_pipeline.py:145-155), not the final params
+        best = os.path.join(cfg["workdir"], "ckpt_best")
+        if os.path.isdir(best):
+            from gotennet_tpu.train.checkpoint import load_checkpoint
+            _, params, _ = load_checkpoint(best)
 
     results = {}
     if cfg.get("test", True):

@@ -27,6 +27,10 @@ class QM9Task(Task):
                  task_config: Optional[Dict] = None):
         super().__init__(label, dataset_meta, task_config)
         if isinstance(label, str):
+            if label not in QM9_TARGETS:
+                raise ValueError(
+                    f"unknown QM9 target {label!r}; choose one of "
+                    f"{QM9_TARGETS}")
             self.label_idx = QM9_TARGETS.index(label)
             self.label_name = label
         else:
