@@ -136,7 +136,19 @@ def _build_model_and_trainer(cfg: Dict, meta: Dict):
     return model, task, Trainer(model, task, tcfg)
 
 
+def _print_config(cfg: Dict, indent: int = 0) -> None:
+    """Plain-text config tree (reference's Rich print_config capability,
+    utils/__init__.py:97-149)."""
+    for k, v in cfg.items():
+        if isinstance(v, dict):
+            print("  " * indent + f"{k}:")
+            _print_config(v, indent + 1)
+        else:
+            print("  " * indent + f"{k}: {v}")
+
+
 def train(cfg: Dict) -> Dict[str, float]:
+    _print_config(cfg)
     label = cfg["label"]
     train_loader, val_loader, test_loader, meta = _build_data(cfg, label)
     model, task, trainer = _build_model_and_trainer(cfg, meta)

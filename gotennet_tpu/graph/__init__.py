@@ -7,6 +7,7 @@ equivalents over fixed-capacity padded edge lists.
 """
 
 from gotennet_tpu.graph.batch import GraphBatch, pad_sizes_for
+from gotennet_tpu.graph.dense_batch import DenseBatch, collate_dense, flatten_nodes
 from gotennet_tpu.graph.neighborlist import (
     build_edges_np,
     collate_graphs,
@@ -22,6 +23,9 @@ from gotennet_tpu.graph.segment import (
 __all__ = [
     "GraphBatch",
     "pad_sizes_for",
+    "DenseBatch",
+    "collate_dense",
+    "flatten_nodes",
     "segment_sum",
     "segment_mean",
     "segment_max",
