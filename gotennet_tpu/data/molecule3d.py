@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Optional
 
 import numpy as np
 

@@ -16,7 +16,7 @@ and for edge-partitioned multi-chip execution; ``to_graph_batch`` /
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,7 @@ more physical, and the cap rarely binds at QM9 scale).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

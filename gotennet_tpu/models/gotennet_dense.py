@@ -22,7 +22,7 @@ reference's edge_update (gotennet.py:561-611) with identical output.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ The 119-entry atomic-mass table replaces the reference's ``ase`` import
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -34,7 +34,6 @@ other activations fall back to the XLA path at the caller.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax

@@ -14,7 +14,6 @@ XLA schedules over ICI.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Sequence
 
 import jax

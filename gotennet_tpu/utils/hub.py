@@ -13,7 +13,6 @@ message while cache hits and local paths work.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 __all__ = ["resolve_checkpoint", "download_file", "ALIAS_SIZES"]
 

@@ -26,7 +26,6 @@ from typing import Dict
 import numpy as np
 
 from gotennet_tpu.models.gotennet import GotenNetConfig, parse_edge_updates
-from gotennet_tpu.ops.spherical import degree_slices
 
 __all__ = ["params_to_state_dict", "state_dict_to_params",
            "load_reference_checkpoint"]
