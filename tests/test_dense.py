@@ -31,6 +31,8 @@ def _graphs(rng, sizes=(5, 7, 9)):
     GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2, n_rbf=8,
                    num_heads=4, layernorm="layer", steerable_norm="norm",
                    edge_updates="norej"),
+    GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2, n_rbf=8,
+                   num_heads=4, sep_dir=False, sep_tensor=False),
 ])
 def test_dense_matches_edge_list(cfg):
     rng = np.random.default_rng(0)
