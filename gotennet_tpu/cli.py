@@ -94,15 +94,85 @@ def _build_data(cfg: Dict, label: str):
     return train_loader, val_loader, test_loader, meta
 
 
+# Every key each config section may carry — unknown keys are rejected
+# so orphaned (parsed-by-nothing) config can't silently accumulate.
+_MODEL_KEYS = {
+    "lr", "lr_decay", "lr_patience", "lr_minlr", "lr_warmup_steps",
+    "weight_decay", "grad_clip", "scheduler", "cosine_t_max", "ema_rate",
+    "ema_stages", "task_loss", "task_config", "layout", "representation",
+    "output",
+}
+_OUTPUT_KEYS = {"n_hidden", "n_layers", "activation"}
+_TRAINER_KEYS = {
+    "max_epochs", "early_stopping_patience", "monitor",
+    "monitor_checkpoint", "log_every", "logger", "tensorboard", "resume",
+    "grad_accum_steps", "data_parallel", "edge_parallel",
+}
+_DATAMODULE_KEYS = {
+    "dataset", "dataset_root", "batch_size", "inference_batch_size",
+    "standardize", "train_size", "val_size", "test_size", "splits",
+    "seed", "max_num_neighbors", "prior_model", "normalize_positions",
+    "n_molecules", "with_forces", "max_frames", "neighbor_probe",
+}
+
+
+def _check_keys(section: Dict, allowed: set, name: str) -> None:
+    unknown = sorted(set(section) - allowed)
+    if unknown:
+        raise ValueError(
+            f"unknown config key(s) {unknown} in '{name}'; "
+            f"allowed: {sorted(allowed)}")
+
+
+def _build_trainer_config(cfg: Dict):
+    """TrainerConfig from the composed config (model LR block +
+    trainer block), with unknown-key rejection."""
+    from gotennet_tpu.train.trainer import TrainerConfig
+
+    mc = cfg["model"]
+    tr = cfg["trainer"]
+    _check_keys(tr, _TRAINER_KEYS, "trainer")
+    return TrainerConfig(
+        lr=mc.get("lr", 1e-4), weight_decay=mc.get("weight_decay", 0.0),
+        grad_clip=mc.get("grad_clip", 5.0),
+        lr_warmup_steps=mc.get("lr_warmup_steps", 0),
+        scheduler=mc.get("scheduler", "plateau"),
+        lr_decay=mc.get("lr_decay", 0.8),
+        lr_patience=mc.get("lr_patience", 15),
+        lr_minlr=mc.get("lr_minlr", 1e-7),
+        cosine_t_max=mc.get("cosine_t_max", 1_000_000),
+        max_epochs=tr.get("max_epochs", 1000),
+        early_stopping_patience=tr.get("early_stopping_patience", 150),
+        monitor=tr.get("monitor", "val_loss"),
+        monitor_checkpoint=tr.get("monitor_checkpoint"),
+        ema_rate=mc.get("ema_rate", 0.0),
+        ema_stages=tuple(mc.get("ema_stages",
+                                ("train", "validation"))),
+        seed=cfg.get("seed", 1),
+        log_every=tr.get("log_every", 50),
+        workdir=cfg["workdir"],
+        logger=tr.get("logger", "jsonl"),
+        tensorboard=tr.get("tensorboard", False),
+        resume=tr.get("resume", False),
+        grad_accum_steps=tr.get("grad_accum_steps", 1),
+        data_parallel=tr.get("data_parallel", 1),
+        edge_parallel=tr.get("edge_parallel", 1),
+    )
+
+
 def _build_model_and_trainer(cfg: Dict, meta: Dict):
+    import dataclasses
+
     from gotennet_tpu.models.gotennet import GotenNetConfig
     from gotennet_tpu.models.model import GotenModel
     from gotennet_tpu.tasks import TASK_DICT
-    from gotennet_tpu.train.trainer import Trainer, TrainerConfig
+    from gotennet_tpu.train.trainer import Trainer
 
     import jax.numpy as jnp
 
     mc = cfg["model"]
+    _check_keys(mc, _MODEL_KEYS, "model")
+    _check_keys(cfg["datamodule"], _DATAMODULE_KEYS, "datamodule")
     rep = {k: v for k, v in mc["representation"].items()}
     if rep.get("pair_dtype") in ("bf16", "bfloat16"):
         rep["pair_dtype"] = jnp.bfloat16
@@ -113,26 +183,14 @@ def _build_model_and_trainer(cfg: Dict, meta: Dict):
     tkw = {"task_loss": mc.get("task_loss", "L1Loss")}
     tkw.update(mc.get("task_config") or {})
     task = task_cls(cfg["label"], dataset_meta=meta, task_config=tkw)
-    model = GotenModel(gcfg, task.build_head(),
-                       layout=mc.get("layout", "edge"))
+    head = task.build_head()
+    out_cfg = dict(mc.get("output") or {})
+    _check_keys(out_cfg, _OUTPUT_KEYS, "model.output")
+    if out_cfg:  # head width/depth overrides (≙ reference output_config)
+        head = dataclasses.replace(head, **out_cfg)
+    model = GotenModel(gcfg, head, layout=mc.get("layout", "edge"))
 
-    tr = cfg["trainer"]
-    tcfg = TrainerConfig(
-        lr=mc["lr"], weight_decay=mc.get("weight_decay", 0.0),
-        grad_clip=mc.get("grad_clip", 5.0),
-        lr_warmup_steps=mc.get("lr_warmup_steps", 0),
-        scheduler=mc.get("scheduler", "plateau"),
-        lr_decay=mc.get("lr_decay", 0.8),
-        lr_patience=mc.get("lr_patience", 15),
-        lr_minlr=mc.get("lr_minlr", 1e-7),
-        max_epochs=tr.get("max_epochs", 1000),
-        early_stopping_patience=tr.get("early_stopping_patience", 150),
-        monitor=tr.get("monitor", "val_loss"),
-        ema_rate=mc.get("ema_rate", 0.0),
-        seed=cfg.get("seed", 1),
-        log_every=tr.get("log_every", 50),
-        workdir=cfg["workdir"],
-    )
+    tcfg = _build_trainer_config(cfg)
     return model, task, Trainer(model, task, tcfg)
 
 
@@ -181,20 +239,46 @@ def train(cfg: Dict) -> Dict[str, float]:
 
 
 def test(cfg: Dict) -> Dict[str, float]:
-    """Evaluate a checkpoint (path or hub alias)."""
-    from gotennet_tpu.train.checkpoint import load_checkpoint
+    """Evaluate a checkpoint (path or hub alias).
+
+    The checkpoint is authoritative (reference testing_pipeline.py:43-45):
+    the model architecture, layout, neighbor cutoff, and — unless
+    overridden on the CLI — the label and task are all taken from the
+    checkpoint's own metadata, so a checkpoint trained under any config
+    evaluates as itself, never as the current config's architecture.
+    """
+    import copy
+
+    from gotennet_tpu.tasks import TASK_DICT
+    from gotennet_tpu.train.checkpoint import load_checkpoint, load_meta
+    from gotennet_tpu.train.trainer import Trainer
     from gotennet_tpu.utils.hub import resolve_checkpoint
 
     ckpt = resolve_checkpoint(cfg["checkpoint"])
     model, params, step = load_checkpoint(ckpt)
     if model is None:
         raise ValueError(f"checkpoint {ckpt} has no embedded config")
-    label = cfg.get("label") or "U0"
-    _, _, test_loader, meta = _build_data(cfg, label)
-    _, task, trainer = _build_model_and_trainer(cfg, meta)
-    trainer.model = model
+    meta = load_meta(ckpt)
+
+    # label/task inferred from the checkpoint; explicit CLI override wins
+    label = cfg.get("label") or meta.get("label") or "U0"
+    task_name = meta.get("task") or cfg.get("task", "QM9")
+
+    # data pipeline must match the checkpoint's geometry, not train.yaml
+    cfg = copy.deepcopy(cfg)
+    cfg["model"]["representation"]["cutoff"] = model.cfg.cutoff
+    cfg["model"]["layout"] = model.layout
+    _, _, test_loader, dmeta = _build_data(cfg, label)
+
+    task = TASK_DICT[task_name](
+        label, dataset_meta=dmeta,
+        task_config={"task_loss": cfg["model"].get("task_loss", "L1Loss")})
+    tcfg = _build_trainer_config(cfg)
+    trainer = Trainer(model, task, tcfg)  # checkpoint's model, not cfg's
     results = trainer.evaluate(params, test_loader, phase="test")
     print("test:", json.dumps(results))
+    with open(os.path.join(cfg["workdir"], "test_results.json"), "w") as f:
+        json.dump(results, f, indent=1)
     return results
 
 

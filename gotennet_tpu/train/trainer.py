@@ -1,14 +1,23 @@
 """Training loop: jitted steps, loss EMA, plateau/cosine scheduling,
-checkpointing, CSV/JSONL logging, early stopping.
+checkpointing, JSONL/CSV/TensorBoard logging, early stopping, and
+first-class multi-device (data x edge parallel) training.
 
 Capability equivalent of the reference's Lightning stack
 (/root/reference/gotennet/models/goten_model.py +
 training_pipeline.py): AdamW(eps 1e-7) with grad-clip 5.0, linear LR
 warmup, ReduceLROnPlateau or cosine annealing on a monitored validation
-metric, EMA *of the loss value* for scheduler smoothing
-(goten_model.py:479-497 — not weight EMA), best/last checkpoints with
-the config serialized alongside (config-in-checkpoint capability), and
-fp64 metric accumulation.
+metric, per-stage EMA *of the loss value* replacing the logged loss
+(goten_model.py:448-519 — not weight EMA), separate checkpoint-selection
+and early-stopping monitors (configs/experiment/qm9.yaml:33-39),
+best/last checkpoints with the config serialized alongside
+(config-in-checkpoint capability), and fp64 metric accumulation.
+
+Multi-device: where the reference delegates to Lightning DDP over NCCL
+(configs/trainer/default.yaml:7), ``TrainerConfig.data_parallel`` /
+``edge_parallel`` build a (data, edge) mesh and run the same train/eval
+math under ``shard_map`` — gradients are pmean'd over the mesh, edge
+segment reductions psum over the edge axis, and XLA schedules the
+collectives over ICI.  Gradient accumulation composes with both.
 """
 
 from __future__ import annotations
@@ -18,7 +27,7 @@ import json
 import math
 import os
 import time
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +62,19 @@ def _chunked(loader, n_accum: int):
             buf = []
 
 
+def _grouped(it, n: int):
+    """Group an iterator into lists of n (trailing partial group is
+    yielded as-is — callers decide whether to pad or fall back)."""
+    buf = []
+    for b in it:
+        buf.append(b)
+        if len(buf) == n:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     lr: float = 1e-4
@@ -66,11 +88,22 @@ class TrainerConfig:
     cosine_t_max: int = 1_000_000
     max_epochs: int = 1000
     early_stopping_patience: int = 150
-    monitor: str = "val_loss"           # on EMA when ema_rate set
-    ema_rate: float = 0.0               # loss-value EMA (0 = off)
+    # Early-stop + LR-plateau monitor (reference EarlyStopping on
+    # validation/val_loss, configs/experiment/qm9.yaml:33-36).
+    monitor: str = "val_loss"
+    # Checkpoint-selection monitor; defaults to ``monitor``.  The
+    # reference selects checkpoints on validation MAE while
+    # early-stopping on val_loss (configs/experiment/qm9.yaml:37-39).
+    monitor_checkpoint: Optional[str] = None
+    # Loss-value EMA (reference goten_model.py:479-497): per-stage EMA
+    # replaces the logged/monitored loss for stages in ``ema_stages``
+    # (reference default ["train", "validation"], goten_model.py:145-148).
+    ema_rate: float = 0.0               # 0 = off
+    ema_stages: Tuple[str, ...] = ("train", "validation")
     seed: int = 1
     log_every: int = 50
     workdir: str = "runs/default"
+    logger: str = "jsonl"               # 'jsonl' | 'csv' | 'wandb' (+jsonl)
     tensorboard: bool = False           # also write TB event files
     resume: bool = False                # resume params from ckpt_last
     # Accumulate gradients over N consecutive loader batches before the
@@ -79,6 +112,13 @@ class TrainerConfig:
     # 256-graph step by ~15% (smaller live pair tensors schedule
     # better) at identical optimization semantics.
     grad_accum_steps: int = 1
+    # Device mesh: data_parallel x edge_parallel devices.  1 x 1 =
+    # single-device.  data: batches sharded per device, grads pmean'd.
+    # edge: each batch's edge list additionally split across devices
+    # (segment reductions psum over the axis) — for graphs too big for
+    # one chip's HBM.  Replaces the reference's Lightning DDP.
+    data_parallel: int = 1
+    edge_parallel: int = 1
 
 
 def make_loss_fn(model: GotenModel, task) -> Callable:
@@ -103,31 +143,73 @@ def make_loss_fn(model: GotenModel, task) -> Callable:
     return loss_fn
 
 
+def _accum_grads(grad_fn, params, batch, step_rng, n_accum):
+    """Gradient (and loss) over one batch, or the mean over a leading
+    accumulation axis of ``n_accum`` stacked chunks."""
+    if n_accum == 1:
+        (loss, (logs, _)), grads = grad_fn(params, batch, step_rng, False)
+        return loss, logs, grads
+
+    def accum(carry, xs):
+        g_acc, l_acc = carry
+        chunk, i = xs
+        r = jax.random.fold_in(step_rng, i)
+        (l, _), g = grad_fn(params, chunk, r, False)
+        return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
+
+    zero = jax.tree.map(jnp.zeros_like, params)
+    (g_sum, l_sum), _ = jax.lax.scan(
+        accum, (zero, jnp.float32(0.0)), (batch, jnp.arange(n_accum)))
+    grads = jax.tree.map(lambda x: x / n_accum, g_sum)
+    return l_sum / n_accum, {}, grads
+
+
 class Trainer:
-    """Single-host trainer; multi-device data parallelism is layered on
-    via ``gotennet_tpu.parallel`` (the step functions here are pure and
-    shard_map-compatible)."""
+    """Single- or multi-device trainer.
+
+    The model handed in may carry any ``edge_axis``; the trainer
+    derives a serial variant (edge_axis=None) for single-device work
+    and a sharded variant (edge_axis='edge') when ``edge_parallel > 1``
+    — both share one parameter tree.
+    """
 
     def __init__(self, model: GotenModel, task, cfg: TrainerConfig):
-        self.model = model
         self.task = task
         self.cfg = cfg
+        # serial model: no collective axes — used for init, single-device
+        # steps, eval fallback, and checkpoint metadata
+        self.model = GotenModel(
+            dataclasses.replace(model.cfg, edge_axis=None), model.head,
+            layout=model.layout)
         self.tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.grad_clip)
-        self.loss_fn = make_loss_fn(model, task)
-        self._train_step = self._build_train_step()
+        self.loss_fn = make_loss_fn(self.model, task)
+        self.mesh = None
+        self.edge_axis = None
+        n_dev = cfg.data_parallel * cfg.edge_parallel
+        if n_dev > 1:
+            if cfg.edge_parallel > 1 and model.layout != "edge":
+                raise ValueError(
+                    "edge_parallel > 1 requires the 'edge' layout")
+            from gotennet_tpu.parallel import make_mesh
+            self.mesh = make_mesh((cfg.data_parallel, cfg.edge_parallel),
+                                  axis_names=("data", "edge"))
+            self.edge_axis = "edge" if cfg.edge_parallel > 1 else None
+            par_model = GotenModel(
+                dataclasses.replace(model.cfg, edge_axis=self.edge_axis),
+                model.head, layout=model.layout)
+            self.par_loss_fn = make_loss_fn(par_model, task)
+            self._train_step = self._build_parallel_train_step()
+            self._par_eval_step = self._build_parallel_eval_step()
+        else:
+            self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
         self.ema: Dict[str, float] = {}
         self.plateau = PlateauState(cfg.lr_decay, cfg.lr_patience,
                                     cfg.lr_minlr)
         os.makedirs(cfg.workdir, exist_ok=True)
-        self._log_f = open(os.path.join(cfg.workdir, "metrics.jsonl"), "a")
-        self._tb = None
-        if cfg.tensorboard:
-            try:
-                from tensorboardX import SummaryWriter
-                self._tb = SummaryWriter(os.path.join(cfg.workdir, "tb"))
-            except ImportError:
-                pass
+        from gotennet_tpu.utils.logging import make_logger
+        self._logger = make_logger(cfg.workdir, cfg.logger,
+                                   tensorboard=cfg.tensorboard)
 
     # ---- step builders -------------------------------------------------
     def _build_train_step(self):
@@ -137,32 +219,78 @@ class Trainer:
 
         def train_step(params, opt_state, batch, rng, lr_scale):
             """``batch`` has a leading accumulation axis when
-            grad_accum_steps > 1 (see _stack_chunks)."""
+            grad_accum_steps > 1 (see _chunked)."""
             rng, step_rng = jax.random.split(rng)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-            if n_accum == 1:
-                (loss, (logs, _)), grads = grad_fn(params, batch, step_rng,
-                                                   False)
-            else:
-                def accum(carry, xs):
-                    g_acc, l_acc = carry
-                    chunk, i = xs
-                    r = jax.random.fold_in(step_rng, i)
-                    (l, _), g = grad_fn(params, chunk, r, False)
-                    return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
-                zero = jax.tree.map(jnp.zeros_like, params)
-                (g_sum, l_sum), _ = jax.lax.scan(
-                    accum, (zero, jnp.float32(0.0)),
-                    (batch, jnp.arange(n_accum)))
-                grads = jax.tree.map(lambda x: x / n_accum, g_sum)
-                loss = l_sum / n_accum
-                logs = {}
+            loss, logs, grads = _accum_grads(grad_fn, params, batch,
+                                             step_rng, n_accum)
             # inject scheduled LR: inner state of chain = (clip, adamw)
             opt_state = self._set_lr(opt_state, lr_scale)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             gnorm = optax.global_norm(grads)
             logs = dict(logs, loss=loss, grad_norm=gnorm)
+            return params, opt_state, rng, logs
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    def _build_parallel_train_step(self):
+        """Data(+edge)-parallel train step under shard_map: per-device
+        grads (optionally accumulated), pmean over the mesh, optimizer
+        update replicated — one jitted call per optimizer step."""
+        from jax.sharding import PartitionSpec as P
+
+        from gotennet_tpu.parallel.data_parallel import batch_pspec
+
+        loss_fn = self.par_loss_fn
+        tx = self.tx
+        mesh = self.mesh
+        axes = mesh.axis_names
+        edge_axis = self.edge_axis
+        n_accum = max(1, self.cfg.grad_accum_steps)
+        with_forces = self.model.head.derivative
+
+        def device_step(params, opt_state, batch, step_rng, lr_scale):
+            # strip the per-device leading axis added by stacking
+            local = jax.tree.map(lambda x: x[0], batch)
+            my_rng = step_rng
+            for ax in axes:
+                my_rng = jax.random.fold_in(my_rng, jax.lax.axis_index(ax))
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            loss, logs, grads = _accum_grads(grad_fn, params, local,
+                                             my_rng, n_accum)
+            grads = jax.lax.pmean(grads, axes)
+            loss = jax.lax.pmean(loss, axes)
+            logs = jax.lax.pmean(logs, axes)
+            opt_state = self._set_lr(opt_state, lr_scale)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            gnorm = optax.global_norm(grads)
+            logs = dict(logs, loss=loss, grad_norm=gnorm)
+            return params, opt_state, logs
+
+        bspec = batch_pspec(edge_axis, with_forces=with_forces)
+        # with accumulation the batch layout is [device, accum, ...]:
+        # keep the device axis sharded, leave the accum axis whole, and
+        # shift any edge sharding one axis right
+        if n_accum > 1:
+            def insert_accum_axis(s):
+                parts = tuple(s)
+                if len(parts) > 1:
+                    return P(parts[0], None, *parts[1:])
+                return s
+            bspec = jax.tree.map(insert_accum_axis, bspec)
+        mapped = jax.shard_map(
+            device_step, mesh=mesh,
+            in_specs=(P(), P(), bspec, P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+
+        def train_step(params, opt_state, batch, rng, lr_scale):
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, logs = mapped(params, opt_state, batch,
+                                             step_rng, lr_scale)
             return params, opt_state, rng, logs
 
         return jax.jit(train_step, donate_argnums=(0, 1))
@@ -185,8 +313,7 @@ class Trainer:
             return tuple(set_in(s) for s in opt_state)
         return opt_state
 
-    def _build_eval_step(self):
-        loss_fn = self.loss_fn
+    def _make_eval_fn(self, loss_fn):
         metrics = self.task.get_metrics()
 
         def eval_step(params, batch):
@@ -199,7 +326,38 @@ class Trainer:
                     out[m["prediction"]].reshape(tgt.shape), tgt, mask)
             return loss, logs, preds
 
-        return jax.jit(eval_step)
+        return eval_step
+
+    def _build_eval_step(self):
+        return jax.jit(self._make_eval_fn(self.loss_fn))
+
+    def _build_parallel_eval_step(self):
+        """Sharded eval: each data shard evaluates its own batch; preds
+        come back concatenated along the device axis (edge-sharded
+        forward outputs are identical across the edge axis)."""
+        from jax.sharding import PartitionSpec as P
+
+        from gotennet_tpu.parallel.data_parallel import batch_pspec
+
+        inner = self._make_eval_fn(self.par_loss_fn)
+
+        def device_step(params, batch):
+            local = jax.tree.map(lambda x: x[0], batch)
+            loss, logs, preds = inner(params, local)
+            # re-add the device axis so out_specs can concatenate
+            expand = lambda x: jnp.asarray(x)[None]
+            return (expand(loss), jax.tree.map(expand, logs),
+                    jax.tree.map(expand, preds))
+
+        bspec = batch_pspec(self.edge_axis,
+                            with_forces=self.model.head.derivative)
+        mapped = jax.shard_map(
+            device_step, mesh=self.mesh,
+            in_specs=(P(), bspec),
+            out_specs=(P("data"), P("data"), P("data")),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
 
     # ---- loops ---------------------------------------------------------
     def lr_scale(self, step: int) -> float:
@@ -211,18 +369,51 @@ class Trainer:
         return w
 
     def _update_ema(self, key: str, value: float) -> float:
-        """Loss-value EMA (reference goten_model.py:479-497)."""
+        """Per-stage loss-value EMA (reference goten_model.py:479-497):
+        ema <- rate * value + (1 - rate) * ema, replacing the value."""
         rate = self.cfg.ema_rate
-        if not (0.0 < rate < 1.0):
+        if not (0.0 < rate < 1.0) or math.isnan(value):
             return value
         prev = self.ema.get(key)
         ema = value if prev is None else rate * value + (1 - rate) * prev
         self.ema[key] = ema
         return ema
 
+    def _stage_ema(self, stage: str, value: float) -> float:
+        if stage in self.cfg.ema_stages:
+            return self._update_ema(f"{stage}_loss", value)
+        return value
+
+    def _stack_group(self, group):
+        """Stack a group of per-device batches and lay it out on the
+        mesh."""
+        from gotennet_tpu.parallel.data_parallel import (
+            shard_graph_batch,
+            stack_batches,
+        )
+        return shard_graph_batch(stack_batches(group), self.mesh,
+                                 edge_axis=self.edge_axis)
+
+    def _train_batches(self, loader):
+        """Yield per-optimizer-step batches: accumulation-chunked, and
+        grouped+sharded across the data axis when a mesh is active
+        (trailing partial device groups are dropped, like DDP)."""
+        chunks = _chunked(loader, max(1, self.cfg.grad_accum_steps))
+        if self.mesh is None:
+            yield from chunks
+            return
+        dp = self.cfg.data_parallel
+        for group in _grouped(chunks, dp):
+            if len(group) < dp:
+                break
+            yield self._stack_group(group)
+
     def fit(self, params, train_loader: Iterable, val_loader: Iterable,
             max_steps: Optional[int] = None):
         cfg = self.cfg
+        # the jitted steps donate the param/opt-state buffers; copy once
+        # at entry so the caller's arrays survive fit()
+        params = jax.tree.map(jnp.array, params)
         step = 0
         if cfg.resume:
             last = os.path.join(cfg.workdir, "ckpt_last")
@@ -231,24 +422,27 @@ class Trainer:
                 _, params, step = load_checkpoint(last)
         opt_state = self.tx.init(params)
         rng = jax.random.PRNGKey(cfg.seed)
-        best_metric = math.inf
+        monitor_ckpt = cfg.monitor_checkpoint or cfg.monitor
+        best_stop = math.inf   # early-stop monitor
+        best_ckpt = math.inf   # checkpoint-selection monitor
         bad_epochs = 0
         history = []
 
         from gotennet_tpu.data.prefetch import prefetch
 
-        n_accum = max(1, cfg.grad_accum_steps)
         for epoch in range(cfg.max_epochs):
             t0 = time.time()
             train_losses = []
-            for batch in prefetch(_chunked(train_loader, n_accum)):
+            for batch in prefetch(self._train_batches(train_loader)):
                 params, opt_state, rng, logs = self._train_step(
                     params, opt_state, batch, rng, self.lr_scale(step))
                 step += 1
+                loss = self._stage_ema("train", float(logs["loss"]))
                 if step % cfg.log_every == 0:
                     self._log({"phase": "train", "step": step,
-                               **{k: float(v) for k, v in logs.items()}})
-                train_losses.append(float(logs["loss"]))
+                               **{k: float(v) for k, v in logs.items()},
+                               "loss": loss})
+                train_losses.append(loss)
                 if max_steps is not None and step >= max_steps:
                     break
 
@@ -262,15 +456,21 @@ class Trainer:
             history.append(val)
             self._log({"phase": "val_epoch", **val})
 
-            monitored = self._update_ema(
-                f"validation_{cfg.monitor}", val[cfg.monitor])
+            for key in {cfg.monitor, monitor_ckpt}:
+                if key not in val:
+                    raise KeyError(
+                        f"monitor {key!r} not among validation metrics "
+                        f"{sorted(val)}")
+            monitored = val[cfg.monitor]
             if cfg.scheduler == "plateau":
                 self.plateau = plateau_update(self.plateau, monitored, cfg.lr)
 
-            if monitored < best_metric:
-                best_metric = monitored
-                bad_epochs = 0
+            if val[monitor_ckpt] < best_ckpt:
+                best_ckpt = val[monitor_ckpt]
                 self.save_checkpoint(params, opt_state, step, "best")
+            if monitored < best_stop:
+                best_stop = monitored
+                bad_epochs = 0
             else:
                 bad_epochs += 1
             self.save_checkpoint(params, opt_state, step, "last")
@@ -286,11 +486,32 @@ class Trainer:
         accs = {m["name"]: MetricAccumulator()
                 for m in self.task.get_metrics()}
         losses = []
-        for batch in loader:
-            loss, logs, preds = self._eval_step(params, batch)
-            losses.append(float(loss))
+
+        def consume(loss, preds):
+            # per-batch stage EMA replaces the logged loss (reference
+            # calculate_loss, goten_model.py:479-497)
+            losses.append(self._stage_ema(phase, float(loss)))
             for name, (p, t, m) in preds.items():
-                accs[name].update(np.asarray(p), np.asarray(t), np.asarray(m))
+                accs[name].update(np.asarray(p), np.asarray(t),
+                                  np.asarray(m))
+
+        if self.mesh is None:
+            for batch in loader:
+                loss, logs, preds = self._eval_step(params, batch)
+                consume(loss, preds)
+        else:
+            dp = self.cfg.data_parallel
+            for group in _grouped(iter(loader), dp):
+                if len(group) == dp:
+                    ls, _, ps = self._par_eval_step(
+                        params, self._stack_group(group))
+                    for i in range(dp):
+                        consume(ls[i],
+                                jax.tree.map(lambda x: x[i], ps))
+                else:  # trailing partial group: serial fallback
+                    for batch in group:
+                        loss, logs, preds = self._eval_step(params, batch)
+                        consume(loss, preds)
         out = {"val_loss": float(np.mean(losses)) if losses else math.nan}
         for name, acc in accs.items():
             stats = acc.compute()
@@ -302,20 +523,12 @@ class Trainer:
     def save_checkpoint(self, params, opt_state, step: int,
                         tag: str) -> None:
         from gotennet_tpu.train.checkpoint import save_checkpoint
+        extra = {"task": getattr(self.task, "name", None),
+                 "label": getattr(self.task, "label_name",
+                                  getattr(self.task, "label", None))}
         save_checkpoint(os.path.join(self.cfg.workdir, f"ckpt_{tag}"),
-                        params, step=step, model=self.model)
+                        params, step=step, model=self.model,
+                        extra_meta=extra)
 
     def _log(self, record: Dict[str, Any]) -> None:
-        self._log_f.write(json.dumps(
-            {k: (float(v) if isinstance(v, (int, float, np.floating))
-                 else v) for k, v in record.items()}) + "\n")
-        self._log_f.flush()
-        if self._tb is not None:
-            step = int(record.get("step", 0))
-            phase = record.get("phase", "misc")
-            for k, v in record.items():
-                if k in ("phase", "step", "epoch"):
-                    continue
-                if isinstance(v, (int, float, np.floating)) and \
-                        np.isfinite(float(v)):
-                    self._tb.add_scalar(f"{phase}/{k}", float(v), step)
+        self._logger.log(record)

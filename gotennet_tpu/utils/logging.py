@@ -1,17 +1,26 @@
-"""Logging helpers.
+"""Logging helpers and experiment-metric logger backends.
 
 Equivalent of the reference's rank-zero-aware ``get_logger``
-(/root/reference/gotennet/utils/__init__.py:42-68): in a multi-process
-``jax.distributed`` run only process 0 emits info-level logs so output
-is not duplicated per host.
+(/root/reference/gotennet/utils/__init__.py:42-68) — in a multi-process
+``jax.distributed`` run only process 0 emits info-level logs — plus
+the experiment-tracking capability of the reference's logger configs
+(/root/reference/gotennet/configs/logger/: wandb, tensorboard, csv,
+...).  ``make_logger`` builds a MetricLogger that always writes
+``metrics.jsonl`` and can additionally mirror records to CSV, W&B
+(gated import), and TensorBoard event files.
 """
 
 from __future__ import annotations
 
+import json
 import logging
+import os
 import sys
+from typing import Any, Dict, Optional
 
-__all__ = ["get_logger", "is_main_process"]
+import numpy as np
+
+__all__ = ["get_logger", "is_main_process", "MetricLogger", "make_logger"]
 
 _FORMAT = "%(asctime)s %(levelname).1s %(name)s: %(message)s"
 
@@ -35,3 +44,92 @@ def get_logger(name: str = "gotennet_tpu") -> logging.Logger:
                         else logging.WARNING)
         logger.propagate = False
     return logger
+
+
+def _scalarize(record: Dict[str, Any]) -> Dict[str, Any]:
+    out = {}
+    for k, v in record.items():
+        if isinstance(v, (int, np.integer)):
+            out[k] = int(v)
+        elif isinstance(v, (float, np.floating)):
+            out[k] = float(v)
+        else:
+            out[k] = v
+    return out
+
+
+class MetricLogger:
+    """Structured metric sink: JSONL always, optional CSV / W&B /
+    TensorBoard mirrors.  All writes are no-ops on non-zero processes
+    (rank-zero guard, ≙ reference rank_zero_only decorators)."""
+
+    def __init__(self, workdir: str, backend: str = "jsonl",
+                 tensorboard: bool = False):
+        self.workdir = workdir
+        self._main = is_main_process()
+        self._jsonl = None
+        self._csv = None
+        self._csv_cols = None
+        self._wandb = None
+        self._tb = None
+        if not self._main:
+            return
+        os.makedirs(workdir, exist_ok=True)
+        self._jsonl = open(os.path.join(workdir, "metrics.jsonl"), "a")
+        if backend == "csv":
+            self._csv = open(os.path.join(workdir, "metrics.csv"), "a")
+        elif backend == "wandb":
+            try:
+                import wandb
+                self._wandb = wandb.init(
+                    project=os.environ.get("WANDB_PROJECT", "gotennet_tpu"),
+                    dir=workdir, resume="allow")
+            except Exception as e:  # wandb absent or offline init failure
+                get_logger().warning(
+                    "wandb backend unavailable (%s); JSONL only", e)
+        if tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(workdir, "tb"))
+            except ImportError:
+                pass
+
+    def log(self, record: Dict[str, Any]) -> None:
+        if not self._main:
+            return
+        rec = _scalarize(record)
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        step = int(rec.get("step", 0))
+        phase = rec.get("phase", "misc")
+        if self._csv is not None:
+            if self._csv_cols is None:
+                self._csv_cols = sorted(rec)
+                self._csv.write(",".join(self._csv_cols) + "\n")
+            self._csv.write(",".join(
+                str(rec.get(c, "")) for c in self._csv_cols) + "\n")
+            self._csv.flush()
+        if self._wandb is not None:
+            self._wandb.log(
+                {f"{phase}/{k}": v for k, v in rec.items()
+                 if isinstance(v, (int, float))}, step=step)
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k in ("phase", "step", "epoch"):
+                    continue
+                if isinstance(v, (int, float)) and np.isfinite(v):
+                    self._tb.add_scalar(f"{phase}/{k}", v, step)
+
+    def close(self) -> None:
+        for h in (self._jsonl, self._csv):
+            if h is not None:
+                h.close()
+        if self._tb is not None:
+            self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+def make_logger(workdir: str, backend: str = "jsonl",
+                tensorboard: bool = False) -> MetricLogger:
+    return MetricLogger(workdir, backend, tensorboard=tensorboard)

@@ -28,7 +28,9 @@ import numpy as np
 from gotennet_tpu.models.gotennet import GotenNetConfig, parse_edge_updates
 
 __all__ = ["params_to_state_dict", "state_dict_to_params",
-           "load_reference_checkpoint"]
+           "head_mapping", "model_params_to_state_dict",
+           "state_dict_to_model_params", "head_config_from_state_dict",
+           "load_reference_checkpoint", "load_reference_model"]
 
 
 def _dense(torch_name, jax_tree, bias=True, norm=False):

@@ -83,3 +83,66 @@ def test_cli_smoke_force_training(tmp_path):
     results = train(cfg)
     assert "MeanAbsoluteError_force" in results
     assert np.isfinite(results["MeanAbsoluteError_force"])
+
+
+def test_cli_rejects_unknown_config_keys(tmp_path):
+    """Orphaned config keys fail fast instead of being silently ignored."""
+    cfg = load_config(CONFIG_DIR, "train.yaml",
+                      ["experiment=smoke", f"workdir={tmp_path}/run",
+                       "trainer.gpus=4"])
+    with pytest.raises(ValueError, match="gpus"):
+        train(cfg)
+    cfg = load_config(CONFIG_DIR, "train.yaml",
+                      ["experiment=smoke", f"workdir={tmp_path}/run2",
+                       "model.output.width=64"])
+    with pytest.raises(ValueError, match="width"):
+        train(cfg)
+
+
+def test_cli_output_block_changes_head(tmp_path):
+    """model.output.{n_hidden,n_layers} reach the head (were orphaned)."""
+    from gotennet_tpu.cli import _build_data, _build_model_and_trainer
+    cfg = load_config(CONFIG_DIR, "train.yaml",
+                      ["experiment=smoke", f"workdir={tmp_path}/run",
+                       "model.output.n_hidden=48",
+                       "model.output.n_layers=3"])
+    _, _, _, meta = _build_data(cfg, cfg["label"])
+    model, _, _ = _build_model_and_trainer(cfg, meta)
+    assert model.head.n_hidden == 48 and model.head.n_layers == 3
+    import jax
+    from gotennet_tpu.data.dataset import BatchLoader, synthetic_molecules
+    ds = synthetic_molecules(4, seed=0)
+    loader = BatchLoader(ds, batch_size=4, cutoff=model.cfg.cutoff)
+    params = model.init(jax.random.PRNGKey(0), next(iter(loader)))
+    out_net = params["params"]["head"]["out_net"]
+    # 3 layers with hidden width 48: dense_0/1 out = 48
+    assert out_net["dense_0"]["linear"]["kernel"].shape[1] == 48
+    assert out_net["dense_1"]["linear"]["kernel"].shape == (48, 48)
+    assert out_net["dense_2"]["linear"]["kernel"].shape == (48, 1)
+
+
+def test_cli_test_uses_checkpoint_architecture(tmp_path):
+    """cli.test evaluates the checkpoint's own model + label even when
+    the current config describes a different architecture (regression:
+    the round-1 trainer baked the config-built model into the jitted
+    eval closure)."""
+    from gotennet_tpu.cli import test as cli_test
+
+    cfg = load_config(CONFIG_DIR, "train.yaml",
+                      ["experiment=smoke", f"workdir={tmp_path}/run",
+                       "trainer.max_epochs=1", "label=homo"])
+    train(cfg)
+    ckpt = os.path.join(str(tmp_path), "run", "ckpt_best")
+
+    # deliberately different architecture + no label in the test config
+    tcfg = load_config(CONFIG_DIR, "train.yaml",
+                       ["experiment=smoke", f"workdir={tmp_path}/eval",
+                        "model.representation.n_atom_basis=64",
+                        "model.representation.n_interactions=1",
+                        f"checkpoint={ckpt}"])
+    os.makedirs(tcfg["workdir"], exist_ok=True)
+    results = cli_test(tcfg)
+    assert np.isfinite(results["val_loss"])
+    # label was inferred from the checkpoint, not defaulted
+    meta = json.load(open(os.path.join(ckpt, "meta.json")))
+    assert meta["label"] == "homo"
