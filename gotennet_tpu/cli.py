@@ -80,7 +80,8 @@ def _build_data(cfg: Dict, label: str):
     else:
         cutoff = cfg["model"]["representation"]["cutoff"]
         mk = dict(cutoff=cutoff,
-                  max_num_neighbors=dm.get("max_num_neighbors", 32))
+                  max_num_neighbors=dm.get("max_num_neighbors", 32),
+                  neighbor_probe=dm.get("neighbor_probe", 64))
         train_loader = BatchLoader(ds.subset(idx_train), dm["batch_size"],
                                    shuffle=True, seed=dm.get("seed", 1),
                                    **mk)

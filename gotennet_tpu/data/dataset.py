@@ -16,7 +16,7 @@ from typing import Iterator, List, Optional, Sequence
 import numpy as np
 
 from gotennet_tpu.graph.batch import GraphBatch
-from gotennet_tpu.graph.neighborlist import build_edges_np, collate_graphs
+from gotennet_tpu.graph.neighborlist import collate_graphs
 
 __all__ = ["MoleculeDataset", "BatchLoader", "DenseLoader", "make_splits",
            "synthetic_molecules", "standardize_energy"]
@@ -158,6 +158,14 @@ class BatchLoader:
     slack) so every batch reuses the same compiled executable.  The
     final short batch is padded with dummy graphs — masks keep the math
     exact.
+
+    Capacity safety: the edge capacity starts from a degree probe over
+    ``neighbor_probe`` molecules (or every molecule with
+    ``neighbor_probe='full'`` — exact, and cheap with the C++ cell
+    list).  If an unprobed outlier still overflows mid-epoch, the
+    loader *rebuckets*: it grows the edge capacity, re-collates the
+    offending batch, and keeps the larger capacity — one extra XLA
+    compile instead of a crashed run or silent truncation.
     """
 
     def __init__(self, ds: MoleculeDataset, batch_size: int,
@@ -165,7 +173,8 @@ class BatchLoader:
                  max_num_neighbors: int = 32, loop: bool = True,
                  node_capacity: Optional[int] = None,
                  edge_capacity: Optional[int] = None,
-                 drop_last: bool = False):
+                 drop_last: bool = False,
+                 neighbor_probe: "int | str" = 64):
         self.ds = ds
         self.batch_size = batch_size
         self.cutoff = cutoff
@@ -177,18 +186,24 @@ class BatchLoader:
 
         if node_capacity is None or edge_capacity is None:
             sizes = np.asarray([len(z) for z in ds.z])
-            # sample edge counts on a few molecules to estimate degree
-            probe = np.linspace(0, len(ds) - 1, min(len(ds), 64)).astype(int)
+            if neighbor_probe == "full":
+                probe = np.arange(len(ds))
+            else:
+                probe = np.linspace(0, len(ds) - 1,
+                                    min(len(ds), int(neighbor_probe))
+                                    ).astype(int)
+            from gotennet_tpu.graph.native import build_edges
             e_per_node = []
             for i in probe:
-                src, _ = build_edges_np(ds.pos[i], cutoff, loop,
-                                        max_num_neighbors)
+                src, _ = build_edges(ds.pos[i], cutoff, loop,
+                                     max_num_neighbors)
                 e_per_node.append(len(src) / max(len(ds.z[i]), 1))
             deg = max(e_per_node) if e_per_node else 8.0
             n_cap = int(np.sort(sizes)[-min(batch_size, len(sizes)):].sum())
             node_capacity = node_capacity or _round_up(n_cap + 8, 8)
+            slack = 1.0 if neighbor_probe == "full" else 1.15
             edge_capacity = edge_capacity or _round_up(
-                int(node_capacity * deg * 1.15) + 16, 128)
+                int(node_capacity * deg * slack) + 16, 128)
         self.node_capacity = node_capacity
         self.edge_capacity = edge_capacity
         self.with_forces = ds.dy is not None
@@ -199,21 +214,38 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _collate(self, graphs, y_dim):
+        return collate_graphs(
+            graphs, self.node_capacity, self.edge_capacity,
+            self.batch_size, cutoff=self.cutoff, loop=self.loop,
+            max_num_neighbors=self.max_num_neighbors, y_dim=y_dim,
+            with_forces=self.with_forces)
+
     def __iter__(self) -> Iterator[GraphBatch]:
         order = np.arange(len(self.ds))
         if self.shuffle:
             self.rng.shuffle(order)
         bs = self.batch_size
         stop = len(self.ds) - (len(self.ds) % bs if self.drop_last else 0)
+        y_dim = self.ds.y.shape[1] if self.ds.y is not None else 1
         for off in range(0, stop, bs):
             idx = order[off:off + bs]
             graphs = self.ds.graph_dicts(idx)
-            y_dim = self.ds.y.shape[1] if self.ds.y is not None else 1
-            yield collate_graphs(
-                graphs, self.node_capacity, self.edge_capacity,
-                self.batch_size, cutoff=self.cutoff, loop=self.loop,
-                max_num_neighbors=self.max_num_neighbors, y_dim=y_dim,
-                with_forces=self.with_forces)
+            while True:
+                try:
+                    yield self._collate(graphs, y_dim)
+                    break
+                except ValueError as e:
+                    if "edge capacity" not in str(e):
+                        raise
+                    new_cap = _round_up(
+                        int(self.edge_capacity * 1.5) + 128, 128)
+                    from gotennet_tpu.utils.logging import get_logger
+                    get_logger().warning(
+                        "edge capacity %d overflowed at batch offset %d; "
+                        "rebucketing to %d (triggers one recompile)",
+                        self.edge_capacity, off, new_cap)
+                    self.edge_capacity = new_cap
 
 
 def _round_up(x: int, m: int) -> int:

@@ -148,18 +148,125 @@ def state_dict_to_params(sd: Dict[str, np.ndarray], cfg: GotenNetConfig,
     return tree
 
 
-def load_reference_checkpoint(path: str):
-    """Load a reference Lightning checkpoint (.ckpt) into this
-    framework: returns ``(cfg, {'params': tree})`` for the bare
-    ``GotenNet`` representation (nest the tree under 'representation'
-    to feed a ``GotenModel``).
+def head_mapping(head, prefix: str = "output_modules.0."):
+    """(torch_key, jax_path, transform) entries for an output head.
 
-    The checkpoint carries its representation hyper-parameters
-    (reference ``save_hyperparameters``, goten_model.py:116) — the
-    same config-in-checkpoint capability our own orbax checkpoints
-    have — so no external configuration is needed.  Output-head
-    weights are reference-version specific and are not converted yet.
+    Reference naming (outputs.py): Atomwise/ESE ``out_net`` is
+    ``Sequential(GetItem, SchnetMLP)`` and SchnetMLP wraps its Dense
+    stack in an inner ``out_net`` Sequential (layers.py:225-273), hence
+    the ``out_net.1.out_net.{i}`` keys; Dipole holds two
+    GatedEquivariantBlocks in ``equivariant_layers`` (outputs.py:418-425)
+    with ``mix_vectors`` (bias-free) + ``scalar_net.{0,1}``.
     """
+    m = []
+    if head.kind in ("atomwise", "electronic_spatial_extent"):
+        for i in range(head.n_layers):
+            m += _dense(f"{prefix}out_net.1.out_net.{i}",
+                        ("head", "out_net", f"dense_{i}"))
+    elif head.kind == "dipole":
+        for k in range(2):
+            g = f"{prefix}equivariant_layers.{k}"
+            j = ("head", f"eq_{k}")
+            m += _dense(f"{g}.mix_vectors", j + ("mix_vectors",),
+                        bias=False)
+            m += _dense(f"{g}.scalar_net.0", j + ("scalar_net_0",))
+            m += _dense(f"{g}.scalar_net.1", j + ("scalar_net_1",))
+    else:
+        raise ValueError(f"no reference mapping for head kind "
+                         f"{head.kind!r}")
+    return m
+
+
+def model_params_to_state_dict(params: Dict, cfg: GotenNetConfig,
+                               head) -> Dict[str, np.ndarray]:
+    """Full GotenModel params (representation + head) -> reference
+    Lightning state-dict naming, including the head's standardization
+    buffers (ScaleShift mean/stddev, layers.py:172-202) and frozen
+    atomref embedding."""
+    tree = params.get("params", params)
+    out = {}
+    for torch_key, jax_path, tf in _mapping(cfg):
+        arr = np.asarray(_get(tree["representation"], jax_path))
+        out["representation." + torch_key] = arr.T if tf == "T" else arr
+    for torch_key, jax_path, tf in head_mapping(head):
+        # head paths are rooted at the model tree: ('head', ...)
+        arr = np.asarray(_get(tree, jax_path))
+        out[torch_key] = arr.T if tf == "T" else arr
+    if head.kind in ("atomwise", "electronic_spatial_extent"):
+        out["output_modules.0.standardize.mean"] = np.asarray(
+            [head.mean], np.float32)
+        out["output_modules.0.standardize.stddev"] = np.asarray(
+            [head.stddev], np.float32)
+        if head.atomref is not None:
+            table = np.asarray(head.atomref, np.float32)
+            if table.ndim == 1:
+                table = table[:, None]
+            out["output_modules.0.atomref.weight"] = table
+    return out
+
+
+def state_dict_to_model_params(sd: Dict[str, np.ndarray],
+                               cfg: GotenNetConfig, head) -> Dict:
+    """Reference-format full state dict -> flax GotenModel param tree
+    ``{'representation': ..., 'head': ...}``."""
+    tree: Dict = {"representation": state_dict_to_params(sd, cfg)}
+    for torch_key, jax_path, tf in head_mapping(head):
+        arr = np.asarray(sd[torch_key], np.float32)
+        if tf == "T":
+            arr = arr.T
+        _set(tree, jax_path, arr)
+    return tree
+
+
+def head_config_from_state_dict(sd: Dict[str, np.ndarray],
+                                derivative: bool = False):
+    """Infer a HeadConfig from reference state-dict keys: the head kind
+    from its parameter signature, MLP depth/widths from the Dense
+    shapes, standardization from the ScaleShift buffers, atomref from
+    the frozen embedding.  Activations follow the reference QM9Task
+    wiring (QM9Task.py:156-199: silu for Atomwise/Dipole, default
+    shifted-softplus for ESE)."""
+    from gotennet_tpu.models.model import HeadConfig
+
+    pre = "output_modules.0."
+    if f"{pre}equivariant_layers.0.mix_vectors.weight" in sd:
+        nh = sd[f"{pre}equivariant_layers.0.mix_vectors.weight"].shape[0] // 2
+        return HeadConfig(kind="dipole", n_hidden=int(nh),
+                          activation="silu")
+    kind = ("electronic_spatial_extent"
+            if f"{pre}atomic_mass" in sd else "atomwise")
+    widths = []
+    i = 0
+    while f"{pre}out_net.1.out_net.{i}.weight" in sd:
+        widths.append(sd[f"{pre}out_net.1.out_net.{i}.weight"].shape[0])
+        i += 1
+    if not widths:
+        raise ValueError("state dict has no recognizable output head")
+    n_layers = len(widths)
+    n_in = sd[f"{pre}out_net.1.out_net.0.weight"].shape[1]
+    # pyramidal (n_hidden=None) iff each hidden width halves the input
+    pyramidal = all(widths[j] == n_in // (2 ** (j + 1))
+                    for j in range(n_layers - 1))
+    n_hidden = None if pyramidal else tuple(int(w) for w in widths[:-1])
+    mean = float(sd.get(f"{pre}standardize.mean", np.zeros(1))[0])
+    stddev = float(sd.get(f"{pre}standardize.stddev", np.ones(1))[0])
+    atomref = sd.get(f"{pre}atomref.weight")
+    return HeadConfig(
+        kind=kind, n_out=int(widths[-1]), n_layers=n_layers,
+        n_hidden=n_hidden, mean=mean, stddev=stddev,
+        atomref=np.asarray(atomref, np.float32)
+        if atomref is not None else None,
+        activation="silu" if kind == "atomwise" else "ssp",
+        derivative=derivative)
+
+
+def _parse_reference_ckpt(path: str):
+    """(GotenNetConfig, numpy state dict, hyper_parameters) from a
+    reference Lightning .ckpt.  The checkpoint carries its
+    representation hyper-parameters (reference ``save_hyperparameters``,
+    goten_model.py:116) — the same config-in-checkpoint capability our
+    own orbax checkpoints have — so no external configuration is
+    needed."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -170,8 +277,31 @@ def load_reference_checkpoint(path: str):
     rep_cfg.setdefault("cutoff", float(hp.get("cutoff", 5.0)))
     known = {f.name for f in dataclasses.fields(GotenNetConfig)}
     cfg = GotenNetConfig(**{k: v for k, v in rep_cfg.items() if k in known})
-
     sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
           for k, v in ckpt["state_dict"].items()}
-    tree = state_dict_to_params(sd, cfg)
-    return cfg, {"params": tree}
+    return cfg, sd, hp
+
+
+def load_reference_checkpoint(path: str):
+    """Load a reference Lightning checkpoint (.ckpt) into this
+    framework: returns ``(cfg, {'params': tree})`` for the bare
+    ``GotenNet`` representation.  Use ``load_reference_model`` for the
+    full model including the output head."""
+    cfg, sd, _ = _parse_reference_ckpt(path)
+    return cfg, {"params": state_dict_to_params(sd, cfg)}
+
+
+def load_reference_model(path: str):
+    """Load a reference Lightning checkpoint as a complete, ready-to-run
+    ``GotenModel`` — representation AND output head — mirroring the
+    reference's ``from_pretrained`` end-to-end rebuild
+    (goten_model.py:160-168; head weights live in the same state_dict,
+    outputs.py:96-542).  Returns ``(model, {'params': tree}, hp)``.
+    """
+    from gotennet_tpu.models.model import GotenModel
+
+    cfg, sd, hp = _parse_reference_ckpt(path)
+    derivative = str(hp.get("task", "QM9")) in ("rMD17", "MD17", "MD22")
+    head = head_config_from_state_dict(sd, derivative=derivative)
+    tree = state_dict_to_model_params(sd, cfg, head)
+    return GotenModel(cfg, head), {"params": tree}, hp

@@ -125,3 +125,47 @@ def test_molecule3d_shards_roundtrip(tmp_path):
     assert total == 25
     first = next(iter_shards(str(tmp_path)))
     np.testing.assert_array_equal(first.z[0], ds.z[0])
+
+
+def test_batchloader_rebuckets_on_outlier_overflow():
+    """An unprobed dense outlier must not kill the epoch: the loader
+    grows the edge capacity, re-collates, and every edge survives."""
+    from gotennet_tpu.data.dataset import BatchLoader, MoleculeDataset
+    rng = np.random.default_rng(0)
+    zs, poss = [], []
+    for i in range(130):
+        if i == 1:  # dense blob the 64-point linspace probe skips
+            m = 24
+            pos = (rng.random((m, 3)) - 0.5) * 1.5  # everything in cutoff
+        else:
+            m = 6
+            pos = (rng.random((m, 3)) - 0.5) * 12.0  # sparse
+        zs.append(np.full(m, 6, np.int32))
+        poss.append(pos.astype(np.float32))
+    ds = MoleculeDataset(z=zs, pos=poss,
+                         y=np.zeros((130, 1), np.float32))
+    loader = BatchLoader(ds, batch_size=4, cutoff=5.0,
+                         max_num_neighbors=32)
+    cap0 = loader.edge_capacity
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    # the outlier batch forced a rebucket
+    assert loader.edge_capacity > cap0
+    # no silent truncation: total real edges = exact per-molecule count
+    from gotennet_tpu.graph.native import build_edges
+    want = sum(len(build_edges(p, 5.0, True, 32)[0]) for p in poss)
+    got = sum(int(np.asarray(b.edge_mask).sum()) for b in batches)
+    assert got == want
+
+
+def test_batchloader_full_probe_is_exact():
+    """neighbor_probe='full' sizes the capacity from the true max —
+    no overflow possible, tighter than the sampled estimate."""
+    from gotennet_tpu.data.dataset import BatchLoader, synthetic_molecules
+    ds = synthetic_molecules(64, seed=3, min_atoms=5, max_atoms=20)
+    full = BatchLoader(ds, batch_size=8, cutoff=5.0,
+                       neighbor_probe="full")
+    cap0 = full.edge_capacity
+    n = sum(1 for _ in full)
+    assert n == len(full)
+    assert full.edge_capacity == cap0  # never rebucketed

@@ -48,9 +48,13 @@ def _expnorm(d, cutoff, n_rbf):
 
 
 def _seg_softmax(logits, seg, n):
-    """PyG-style segment softmax over axis 0 (+1e-16 denominator)."""
+    """PyG-style segment softmax over axis 0 (+1e-16 denominator).
+
+    The per-segment max shift is detached: softmax gradients are
+    invariant to it, and index_reduce('amax') has no backward."""
     neg = torch.full((n,) + logits.shape[1:], -1e30, dtype=logits.dtype)
-    mx = neg.index_reduce(0, seg, logits, "amax", include_self=True)
+    mx = neg.index_reduce(0, seg, logits.detach(), "amax",
+                          include_self=True)
     ex = torch.exp(logits - mx[seg])
     den = torch.zeros_like(neg).index_add_(0, seg, ex)
     return ex / (den[seg] + 1e-16)
@@ -192,3 +196,125 @@ def reference_forward(sd, cfg, z, pos, edge_src, edge_dst):
         X = X + m2[:, None, :] * X_p
 
     return h, X
+
+
+# ---------------------------------------------------------------------
+# Output heads (reference outputs.py), consuming the same state-dict
+# naming as published checkpoints (``output_modules.0.`` prefix).
+# ---------------------------------------------------------------------
+
+def atomwise_head(sd, h, z, batch_idx, n_graphs, n_layers=2,
+                  act=_silu, prefix="output_modules.0."):
+    """Reference Atomwise (outputs.py:232-376): SchnetMLP -> per-atom
+    ScaleShift standardization -> +atomref -> graph scatter-sum."""
+    x = h
+    for i in range(n_layers):
+        x = _lin(x, sd, f"{prefix}out_net.1.out_net.{i}")
+        if i < n_layers - 1:
+            x = act(x)
+    mean = torch.as_tensor(sd.get(f"{prefix}standardize.mean",
+                                  torch.zeros(1)))
+    stddev = torch.as_tensor(sd.get(f"{prefix}standardize.stddev",
+                                    torch.ones(1)))
+    yi = x * stddev + mean
+    ar_key = f"{prefix}atomref.weight"
+    if ar_key in sd:
+        yi = yi + torch.as_tensor(sd[ar_key])[
+            torch.as_tensor(np.asarray(z), dtype=torch.long)]
+    return _scatter_add(yi, batch_idx, n_graphs)
+
+
+def _gated_equivariant_block(sd, l0, l1, n_sout, n_vout, name,
+                             act=_silu, sact=None):
+    """Reference GatedEquivariantBlock (outputs.py:24-92)."""
+    w_mix = torch.as_tensor(sd[f"{name}.mix_vectors.weight"])
+    vmix = l1 @ w_mix.T  # [N, 3, 2*n_vout]
+    v_V, v_W = vmix[..., :n_vout], vmix[..., n_vout:]
+    v_Vn = torch.norm(v_V, dim=-2)
+    ctx = torch.cat([l0, v_Vn], dim=-1)
+    x = act(_lin(ctx, sd, f"{name}.scalar_net.0"))
+    x = _lin(x, sd, f"{name}.scalar_net.1")
+    s_out, gate = x[..., :n_sout], x[..., n_sout:]
+    v_out = gate.unsqueeze(-2) * v_W
+    if sact is not None:
+        s_out = sact(s_out)
+    return s_out, v_out
+
+
+def dipole_head(sd, h, X, pos, batch_idx, n_graphs, n_hidden,
+                prefix="output_modules.0."):
+    """Reference Dipole with predict_magnitude (outputs.py:379-468)."""
+    l0, l1 = h, X[:, 0:3, :]
+    l0, l1 = _gated_equivariant_block(
+        sd, l0, l1, n_hidden, n_hidden,
+        f"{prefix}equivariant_layers.0", sact=_silu)
+    l0, l1 = _gated_equivariant_block(
+        sd, l0, l1, 1, 1, f"{prefix}equivariant_layers.1")
+    atomic_dipoles = torch.squeeze(l1, -1)
+    y = atomic_dipoles + pos * l0
+    y = _scatter_add(y, batch_idx, n_graphs)
+    return torch.norm(y, dim=1, keepdim=True)
+
+
+def _ssp(x):
+    return torch.nn.functional.softplus(x) - math.log(2.0)
+
+
+def ese_head(sd, h, z, pos, batch_idx, n_graphs, n_layers=2,
+             prefix="output_modules.0."):
+    """Reference ElectronicSpatialExtentV2 (outputs.py:471-542)."""
+    x = h
+    for i in range(n_layers):
+        x = _lin(x, sd, f"{prefix}out_net.1.out_net.{i}")
+        if i < n_layers - 1:
+            x = _ssp(x)
+    mass = torch.as_tensor(sd[f"{prefix}atomic_mass"])[
+        torch.as_tensor(np.asarray(z), dtype=torch.long)].view(-1, 1)
+    msum = _scatter_add(mass, batch_idx, n_graphs)
+    c = _scatter_add(mass * pos, batch_idx, n_graphs) / msum
+    yi = torch.norm(pos - c[batch_idx], dim=1, keepdim=True) ** 2 * x
+    return _scatter_add(yi, batch_idx, n_graphs)
+
+
+_BUFFER_SUFFIXES = ("standardize.mean", "standardize.stddev",
+                    "atomref.weight", "atomic_mass")
+
+
+class TorchGotenModel(torch.nn.Module):
+    """Trainable pure-torch oracle of the FULL reference model
+    (representation + Atomwise head): every state-dict entry becomes an
+    ``nn.Parameter`` (buffers stay constant, like the reference's
+    registered buffers / frozen atomref embedding), so torch autograd +
+    torch.optim drive the exact reference math.  Used by the
+    training-parity harness."""
+
+    def __init__(self, sd, cfg, n_head_layers=2):
+        super().__init__()
+        self.cfg = cfg
+        self.n_head_layers = n_head_layers
+        self._param_keys = [k for k in sd
+                            if not k.endswith(_BUFFER_SUFFIXES)]
+        self._buffers_np = {k: np.asarray(sd[k], np.float32) for k in sd
+                            if k.endswith(_BUFFER_SUFFIXES)}
+        self.plist = torch.nn.ParameterList([
+            torch.nn.Parameter(torch.as_tensor(
+                np.asarray(sd[k], np.float32).copy()))
+            for k in self._param_keys])
+
+    def state(self):
+        d = dict(zip(self._param_keys, self.plist))
+        d.update({k: torch.as_tensor(v)
+                  for k, v in self._buffers_np.items()})
+        return d
+
+    def grads_by_key(self):
+        return {k: p.grad for k, p in zip(self._param_keys, self.plist)}
+
+    def forward(self, z, pos, src, dst, batch_idx, n_graphs):
+        sd = self.state()
+        rep = {k[len("representation."):]: v for k, v in sd.items()
+               if k.startswith("representation.")}
+        h, _ = reference_forward(rep, self.cfg, z, pos, src, dst)
+        bi = torch.as_tensor(np.asarray(batch_idx), dtype=torch.long)
+        return atomwise_head(sd, h, z, bi, n_graphs,
+                             n_layers=self.n_head_layers)
