@@ -89,6 +89,13 @@ def _mapping(cfg: GotenNetConfig):
             else:
                 m += _dense(f"{g}.W_vk", j + ("W_vk",), bias=False)
             if info["lin_w"] > 0:
+                if info["lin_ln"] == 1:
+                    # the 'ln' LayerNorm is index 0 of the gamma_w
+                    # Sequential (reference gotennet.py:270-276)
+                    m.append((f"{g}.gamma_w.0.weight",
+                              j + ("gamma_w_ln", "scale"), ""))
+                    m.append((f"{g}.gamma_w.0.bias",
+                              j + ("gamma_w_ln", "bias"), ""))
                 m += _dense(f"{g}.W_edp", j + ("W_edp",),
                             norm=(info["lin_ln"] == 2))
         if cfg.layernorm:

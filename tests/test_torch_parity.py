@@ -31,13 +31,41 @@ def _graphs(rng, sizes=(5, 7)):
     ]
 
 
-@pytest.mark.parametrize("cfg", [
-    GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2, n_rbf=8,
-                   num_heads=4),
-    GotenNetConfig(n_atom_basis=32, n_interactions=3, lmax=1, n_rbf=8,
-                   num_heads=4, sep_dir=False, sep_tensor=False,
-                   scale_edge=True),
-])
+def _cfg(**kw):
+    base = dict(n_atom_basis=32, n_interactions=2, lmax=2, n_rbf=8,
+                num_heads=4)
+    base.update(kw)
+    return GotenNetConfig(**base)
+
+
+# Every edge_updates token, both pre-norms, all aggrs, all bases —
+# each oracle-checked, not just dense-vs-edge self-checked
+# (≙ reference gotennet.py:139-292 config grammar).
+ORACLE_CONFIGS = [
+    _cfg(),
+    _cfg(n_interactions=3, lmax=1, sep_dir=False, sep_tensor=False,
+         scale_edge=True),
+    _cfg(edge_updates="norej"),
+    _cfg(edge_updates="gated_linw"),
+    _cfg(edge_updates="gatedt_linwa_ln"),
+    _cfg(edge_updates="act_linw_postln"),
+    _cfg(edge_updates="mlp", edge_ln="layer"),
+    _cfg(edge_updates="mlpa"),
+    _cfg(layernorm="layer", steerable_norm="layer"),
+    _cfg(aggr="mean"),
+    _cfg(aggr="max"),
+    _cfg(radial_basis="GaussianRBF"),
+    _cfg(radial_basis="BesselBasis"),
+    _cfg(sep_htr=False),           # full-axis rejection
+    _cfg(sep_htr=False, edge_updates="norej"),
+]
+
+
+@pytest.mark.parametrize(
+    "cfg", ORACLE_CONFIGS,
+    ids=lambda c: f"eu={c.edge_updates}_ln={c.layernorm}{c.steerable_norm}"
+                  f"_aggr={c.aggr}_rbf={c.radial_basis}_sh={c.sep_htr}"
+                  f"_sd={c.sep_dir}")
 def test_jax_matches_torch_oracle(cfg):
     rng = np.random.default_rng(0)
     graphs = _graphs(rng)

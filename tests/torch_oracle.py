@@ -8,9 +8,11 @@ checkpoints).  Used by tests/test_torch_parity.py to validate both the
 JAX models and utils/torch_convert.py against a second framework's
 numerics.
 
-Covers the shipped configuration space exercised by the parity tests:
-expnorm radial basis, silu/swish activation, edge_updates=True
-(default update-info), no pre-norms, aggr='add'.
+Covers the full configuration grammar exercised by the parity tests:
+expnorm/gaussian/bessel radial bases, silu/swish activation, every
+``edge_updates`` token (gated/gatedt/act/norej/mlp/mlpa/linw/linwa/
+ln/postln), layernorm and steerable (tensor) pre-norms, and
+aggr add/mean/max.
 """
 
 from __future__ import annotations
@@ -40,11 +42,56 @@ def _cos_cutoff(d, cutoff):
 
 
 def _expnorm(d, cutoff, n_rbf):
+    """ExpNormalSmearing (reference layers.py:703-746), alpha=5/rc."""
     start = math.exp(-cutoff)
     means = torch.linspace(start, 1.0, n_rbf, dtype=d.dtype)
     beta = (2.0 / n_rbf * (1.0 - start)) ** -2
+    alpha = 5.0 / cutoff
     env = _cos_cutoff(d, cutoff)[:, None]
-    return env * torch.exp(-beta * (torch.exp(-d)[:, None] - means) ** 2)
+    return env * torch.exp(
+        -beta * (torch.exp(-alpha * d)[:, None] - means) ** 2)
+
+
+def _gaussian(d, cutoff, n_rbf):
+    """GaussianRBF (reference layers.py:276-325): gaussians at
+    linspace(0, rc), width = grid spacing."""
+    offsets = torch.linspace(0.0, cutoff, n_rbf, dtype=d.dtype)
+    width = (offsets[1] - offsets[0]) if n_rbf > 1 else torch.tensor(1.0)
+    return torch.exp(-0.5 / width ** 2 * (d[:, None] - offsets) ** 2)
+
+
+def _bessel(d, cutoff, n_rbf):
+    """BesselBasis (reference layers.py:328-358), zero-safe."""
+    freqs = torch.arange(1, n_rbf + 1, dtype=d.dtype) * math.pi / cutoff
+    denom = torch.where(d == 0, torch.ones_like(d), d)[:, None]
+    return torch.sin(d[:, None] * freqs) / denom
+
+
+def _rbf(name, d, cutoff, n_rbf):
+    key = name.lower().replace("-", "").replace("_", "")
+    return {"expnorm": _expnorm, "gaussianrbf": _gaussian,
+            "besselbasis": _bessel}[key](d, cutoff, n_rbf)
+
+
+def _tensor_layer_norm(X, lmax, eps=1e-12):
+    """Non-trainable TensorLayerNorm (reference layers.py:1497-1563):
+    per-degree max-min norm of the m-axis magnitudes."""
+    parts = []
+    for lo, hi in degree_slices(lmax):
+        t = X[:, lo:hi, :]
+        dist = torch.norm(t, dim=1, keepdim=True)
+        if (dist == 0).all():
+            parts.append(torch.zeros_like(t))
+            continue
+        dist = dist.clamp(min=eps)
+        direct = t / dist
+        max_val, _ = torch.max(dist, dim=-1)
+        min_val, _ = torch.min(dist, dim=-1)
+        delta = (max_val - min_val).view(-1)
+        delta = torch.where(delta == 0, torch.ones_like(delta), delta)
+        nd = (dist - min_val.view(-1, 1, 1)) / delta.view(-1, 1, 1)
+        parts.append(torch.relu(nd) * direct)
+    return torch.cat(parts, dim=1)
 
 
 def _seg_softmax(logits, seg, n):
@@ -65,6 +112,24 @@ def _scatter_add(values, seg, n):
     return out.index_add_(0, seg, values)
 
 
+def _scatter_aggr(aggr, values, seg, n):
+    """PyG-style scatter with reduce add/mean/max (empty segments -> 0,
+    mean divides by count clamped to 1)."""
+    if aggr == "add":
+        return _scatter_add(values, seg, n)
+    if aggr == "mean":
+        s = _scatter_add(values, seg, n)
+        cnt = _scatter_add(torch.ones(values.shape[0]), seg, n)
+        cnt = cnt.clamp(min=1.0).view((n,) + (1,) * (values.ndim - 1))
+        return s / cnt
+    if aggr == "max":
+        neg = torch.full((n,) + values.shape[1:], -1e30,
+                         dtype=values.dtype)
+        out = neg.index_reduce(0, seg, values, "amax", include_self=True)
+        return torch.where(out <= -1e29, torch.zeros_like(out), out)
+    raise ValueError(aggr)
+
+
 def reference_forward(sd, cfg, z, pos, edge_src, edge_dst):
     """Reference GotenNet forward (h, X) on one flat graph batch.
 
@@ -74,10 +139,12 @@ def reference_forward(sd, cfg, z, pos, edge_src, edge_dst):
         z: [N] atomic numbers; edge_src/edge_dst: [E] int (real edges
             only, destination = center, self-loops included).
     """
+    from gotennet_tpu.models.gotennet import parse_edge_updates
     from gotennet_tpu.ops.spherical import spherical_harmonics
     import jax.numpy as jnp
 
     assert cfg.activation in ("swish", "silu")
+    info = parse_edge_updates(cfg.edge_updates)
     torch_z = torch.as_tensor(np.asarray(z), dtype=torch.long)
     pos = torch.as_tensor(np.asarray(pos), dtype=torch.float32)
     src = torch.as_tensor(np.asarray(edge_src), dtype=torch.long)
@@ -94,7 +161,7 @@ def reference_forward(sd, cfg, z, pos, edge_src, edge_dst):
     d[nonloop] = torch.linalg.norm(vec[nonloop], dim=-1)
 
     h = torch.as_tensor(sd["A_na.weight"])[torch_z]
-    phi = _expnorm(d, cfg.cutoff, cfg.n_rbf)
+    phi = _rbf(cfg.radial_basis, d, cfg.cutoff, cfg.n_rbf)
 
     # NodeInit (self-loops stripped)
     h_src_emb = torch.as_tensor(sd["node_init.A_nbr.weight"])[torch_z]
@@ -125,6 +192,12 @@ def reference_forward(sd, cfg, z, pos, edge_src, edge_dst):
     X = torch.zeros(n, L, D)
     for i in range(cfg.n_interactions):
         g = f"gata_list.{i}"
+        if cfg.layernorm:
+            h = torch.nn.functional.layer_norm(
+                h, (D,), torch.as_tensor(sd[f"{g}.layernorm.weight"]),
+                torch.as_tensor(sd[f"{g}.layernorm.bias"]))
+        if cfg.steerable_norm:
+            X = _tensor_layer_norm(X, cfg.lmax)
         q = _lin(h, sd, f"{g}.W_q").reshape(n, H, D // H)
         k = _lin(h, sd, f"{g}.W_k").reshape(n, H, D // H)
         xg = _lin(_silu(_lin(h, sd, f"{g}.gamma_s.0")), sd, f"{g}.gamma_s.1")
@@ -158,8 +231,8 @@ def reference_forward(sd, cfg, z, pos, edge_src, edge_dst):
                     off + (l * D if cfg.sep_tensor else 0) + D]
             dX[:, lo:hi, :] += X[src][:, lo:hi, :] * o_t[:, None, :]
 
-        h = h + _scatter_add(o_s, dst, n)
-        X = X + _scatter_add(dX, dst, n)
+        h = h + _scatter_aggr(cfg.aggr, o_s, dst, n)
+        X = X + _scatter_aggr(cfg.aggr, dX, dst, n)
 
         last = i == cfg.n_interactions - 1
         if not last and cfg.edge_updates:
@@ -177,13 +250,62 @@ def reference_forward(sd, cfg, z, pos, edge_src, edge_dst):
                 proj = (rep * r[:, :, None]).sum(1, keepdim=True)
                 return rep - proj * r[:, :, None]
 
-            w_ij = 0.0
-            for lo, hi in degree_slices(cfg.lmax):
-                eq = reject(EQ[dst][:, lo:hi], rl[:, lo:hi])
-                ek = reject(EK[src][:, lo:hi], -rl[:, lo:hi])
-                w_ij = w_ij + (eq * ek).sum(1)
-            gt = _silu(_lin(t, sd, f"{g}.gamma_t.dense_layers.0"))
-            t = t + gt * w_ij
+            if cfg.sep_htr:
+                w_ij = 0.0
+                for lo, hi in degree_slices(cfg.lmax):
+                    eq, ek = EQ[dst][:, lo:hi], EK[src][:, lo:hi]
+                    if info["rej"]:
+                        eq = reject(eq, rl[:, lo:hi])
+                        ek = reject(ek, -rl[:, lo:hi])
+                    w_ij = w_ij + (eq * ek).sum(1)
+            elif not info["rej"]:
+                w_ij = (EQ[dst] * EK[src]).sum(1)
+            else:  # rejection over the full concatenated-degree axis
+                w_ij = (reject(EQ[dst], rl)
+                        * reject(EK[src], -rl)).sum(1)
+
+            # gamma_t: MLP([D, emlp, D]) when mlp|mlpa (hidden layer
+            # normed by edge_ln), else single Dense with activation
+            # (reference gotennet.py:239-250)
+            if info["mlp"] or info["mlpa"]:
+                x0 = _lin(t, sd, f"{g}.gamma_t.dense_layers.0")
+                if cfg.edge_ln == "layer":
+                    x0 = torch.nn.functional.layer_norm(
+                        x0, (x0.shape[-1],),
+                        torch.as_tensor(
+                            sd[f"{g}.gamma_t.dense_layers.0.norm.weight"]),
+                        torch.as_tensor(
+                            sd[f"{g}.gamma_t.dense_layers.0.norm.bias"]))
+                x0 = _silu(x0)
+                gt = _lin(x0, sd, f"{g}.gamma_t.dense_layers.1")
+                if not info["mlp"]:  # mlpa keeps the last activation
+                    gt = _silu(gt)
+            else:
+                gt = _silu(_lin(t, sd, f"{g}.gamma_t.dense_layers.0"))
+
+            # gamma_w gate chain (reference gotennet.py:270-292)
+            w = w_ij
+            if info["lin_w"] > 0:
+                if info["lin_ln"] == 1:
+                    w = torch.nn.functional.layer_norm(
+                        w, (w.shape[-1],),
+                        torch.as_tensor(sd[f"{g}.gamma_w.0.weight"]),
+                        torch.as_tensor(sd[f"{g}.gamma_w.0.bias"]))
+                if info["lin_w"] % 10 == 2:
+                    w = _silu(w)
+                w = _lin(w, sd, f"{g}.W_edp")
+                if info["lin_ln"] == 2:
+                    w = torch.nn.functional.layer_norm(
+                        w, (D,),
+                        torch.as_tensor(sd[f"{g}.W_edp.norm.weight"]),
+                        torch.as_tensor(sd[f"{g}.W_edp.norm.bias"]))
+            if info["gated"] == "gatedt":
+                w = torch.tanh(w)
+            elif info["gated"] == "gated":
+                w = torch.sigmoid(w)
+            elif info["gated"] == "act":
+                w = torch.nn.functional.silu(w)
+            t = t + gt * w
 
         e = f"eqff_list.{i}"
         X_p = X @ torch.as_tensor(sd[f"{e}.W_vu.weight"]).T
