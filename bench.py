@@ -17,9 +17,11 @@ one ``lax.scan`` and the wall time of a single scalar readback is
 measured; the separately-measured readback round-trip is subtracted.
 
 Env knobs: BENCH_BATCH (default 256), BENCH_STEPS (default 20),
-BENCH_MODE=train|forward (default train), BENCH_LAYOUT=dense|edge
+BENCH_MODE=train|forward (default train), BENCH_LAYOUT=dense|edge|ell
 (default dense — batched [G,M,M] MXU formulation; 'edge' is the flat
-scatter/segment path), BENCH_PAIR_DTYPE=bf16|f32 (default bf16:
+scatter/segment path; 'ell' is padded [N,K] neighbor rows, scatter-free
+with O(N*K) padding — the large-molecule path),
+BENCH_PAIR_DTYPE=bf16|f32 (default bf16:
 pair-tensor storage dtype; matmul accumulation is always f32),
 BENCH_CHUNK (default 8): graphs per gradient-accumulation chunk —
 the optimizer still steps once per 256-graph batch; small chunks let
@@ -75,7 +77,7 @@ def main():
     n_chunks = batch_size // chunk
 
     from gotennet_tpu.data.dataset import (
-        BatchLoader, DenseLoader, synthetic_molecules)
+        BatchLoader, DenseLoader, ELLLoader, synthetic_molecules)
     from gotennet_tpu.models.gotennet import GotenNetConfig
     from gotennet_tpu.models.model import GotenModel
     from gotennet_tpu.tasks.qm9 import QM9Task
@@ -107,6 +109,12 @@ def main():
         example = chunks[0]
         padded_pairs = int(n_chunks * example.num_graphs
                            * example.max_atoms ** 2)
+    elif layout == "ell":
+        chunks = list(ELLLoader(ds, batch_size=chunk, cutoff=cfg.cutoff,
+                                neighbor_probe="full"))[:n_chunks]
+        example = chunks[0]
+        padded_pairs = int(n_chunks * example.num_nodes
+                           * example.max_neighbors)
     else:
         chunks = list(BatchLoader(ds, batch_size=chunk,
                                   cutoff=cfg.cutoff))[:n_chunks]

@@ -64,7 +64,22 @@ def _build_data(cfg: Dict, label: str):
         mean, std = standardize_energy(ds, idx_train, use_atomref=use_ar)
 
     layout = cfg["model"].get("layout", "edge")
-    if layout == "dense":
+    if layout == "ell":
+        from gotennet_tpu.data.dataset import ELLLoader
+        cutoff = cfg["model"]["representation"]["cutoff"]
+        mk = dict(cutoff=cutoff,
+                  max_num_neighbors=dm.get("max_num_neighbors", 32),
+                  neighbor_probe=dm.get("neighbor_probe", 64))
+        train_loader = ELLLoader(ds.subset(idx_train), dm["batch_size"],
+                                 shuffle=True, seed=dm.get("seed", 1),
+                                 **mk)
+        val_loader = ELLLoader(ds.subset(idx_val),
+                               dm.get("inference_batch_size",
+                                      dm["batch_size"]), **mk)
+        test_loader = ELLLoader(ds.subset(idx_test),
+                                dm.get("inference_batch_size",
+                                       dm["batch_size"]), **mk)
+    elif layout == "dense":
         from gotennet_tpu.data.dataset import DenseLoader
         max_atoms = max((len(z) for z in ds.z), default=8)
         mk = dict(max_atoms=((max_atoms + 7) // 8) * 8)
@@ -307,13 +322,30 @@ def main(argv: Optional[List[str]] = None) -> int:
     elif mode == "test":
         test(load_config(CONFIG_DIR, root, overrides))
     elif mode == "sweep":
-        # comma-separated override values expand to a cartesian grid
-        from gotennet_tpu.utils.sweep import run_sweep
-        # each trial's overrides already cover every swept key
-        run_sweep(
-            train, lambda extra: load_config(CONFIG_DIR, root, extra),
-            overrides, sweep_dir="runs/sweep",
-            metric="MeanAbsoluteError")
+        # grid: comma-separated values expand to a cartesian product.
+        # random search: sampler=random n_trials=N plus distribution
+        # expressions (loguniform/uniform/int/choice) in the overrides.
+        from gotennet_tpu.utils.sweep import run_random_search, run_sweep
+        meta = {"sampler": "grid", "n_trials": "8", "seed": "0",
+                "metric": "MeanAbsoluteError",
+                "sweep_dir": "runs/sweep"}
+        trial_ovs = []
+        for ov in overrides:
+            key, _, val = ov.partition("=")
+            if key in meta:
+                meta[key] = val
+            else:
+                trial_ovs.append(ov)
+        load = lambda extra: load_config(CONFIG_DIR, root, extra)
+        if meta["sampler"] == "random":
+            run_random_search(train, load, trial_ovs,
+                              n_trials=int(meta["n_trials"]),
+                              seed=int(meta["seed"]),
+                              sweep_dir=meta["sweep_dir"],
+                              metric=meta["metric"])
+        else:
+            run_sweep(train, load, trial_ovs,
+                      sweep_dir=meta["sweep_dir"], metric=meta["metric"])
     else:
         raise SystemExit(f"unknown mode {mode!r}; use train|test|sweep")
     return 0

@@ -18,8 +18,8 @@ import numpy as np
 from gotennet_tpu.graph.batch import GraphBatch
 from gotennet_tpu.graph.neighborlist import collate_graphs
 
-__all__ = ["MoleculeDataset", "BatchLoader", "DenseLoader", "make_splits",
-           "synthetic_molecules", "standardize_energy"]
+__all__ = ["MoleculeDataset", "BatchLoader", "DenseLoader", "ELLLoader",
+           "make_splits", "synthetic_molecules", "standardize_energy"]
 
 
 @dataclasses.dataclass
@@ -250,6 +250,92 @@ class BatchLoader:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+class ELLLoader:
+    """Iterates fixed-capacity ELLBatches ([N, K] neighbor rows) over a
+    dataset split — the input pipeline for the ELL (padded-neighbor)
+    model layout.  ``max_neighbors`` defaults to the max degree found
+    by a probe (or the whole dataset with ``neighbor_probe='full'``),
+    rounded up to a multiple of 4; overflow rebuckets like BatchLoader.
+    """
+
+    def __init__(self, ds: MoleculeDataset, batch_size: int,
+                 cutoff: float = 5.0, shuffle: bool = False, seed: int = 0,
+                 max_num_neighbors: int = 32, loop: bool = True,
+                 node_capacity: Optional[int] = None,
+                 max_neighbors: Optional[int] = None,
+                 drop_last: bool = False,
+                 neighbor_probe: "int | str" = 64):
+        self.ds = ds
+        self.batch_size = batch_size
+        self.cutoff = cutoff
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.max_num_neighbors = max_num_neighbors
+        self.loop = loop
+        self.drop_last = drop_last
+
+        sizes = np.asarray([len(z) for z in ds.z])
+        if node_capacity is None:
+            n_cap = int(np.sort(sizes)[-min(batch_size, len(sizes)):].sum())
+            node_capacity = _round_up(n_cap + 8, 8)
+        if max_neighbors is None:
+            if neighbor_probe == "full":
+                probe = np.arange(len(ds))
+            else:
+                probe = np.linspace(0, len(ds) - 1,
+                                    min(len(ds), int(neighbor_probe))
+                                    ).astype(int)
+            from gotennet_tpu.graph.native import build_edges
+            deg = 1
+            for i in probe:
+                _, dst = build_edges(ds.pos[i], cutoff, loop,
+                                     max_num_neighbors)
+                if len(dst):
+                    deg = max(deg, int(np.bincount(dst).max()))
+            if neighbor_probe != "full":
+                deg = min(int(deg * 1.25) + 1,
+                          max_num_neighbors + (1 if loop else 0))
+            max_neighbors = _round_up(deg, 4)
+        self.node_capacity = node_capacity
+        self.max_neighbors = max_neighbors
+        self.with_forces = ds.dy is not None
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        from gotennet_tpu.graph.ell_batch import collate_ell
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        stop = len(self.ds) - (len(self.ds) % bs if self.drop_last else 0)
+        y_dim = self.ds.y.shape[1] if self.ds.y is not None else 1
+        for off in range(0, stop, bs):
+            graphs = self.ds.graph_dicts(order[off:off + bs])
+            while True:
+                try:
+                    yield collate_ell(
+                        graphs, self.node_capacity, self.max_neighbors,
+                        self.batch_size, cutoff=self.cutoff,
+                        loop=self.loop,
+                        max_num_neighbors=self.max_num_neighbors,
+                        y_dim=y_dim, with_forces=self.with_forces)
+                    break
+                except ValueError as e:
+                    if "neighbor capacity" not in str(e):
+                        raise
+                    new_k = _round_up(self.max_neighbors + 4, 4)
+                    from gotennet_tpu.utils.logging import get_logger
+                    get_logger().warning(
+                        "neighbor capacity %d overflowed; rebucketing "
+                        "to %d", self.max_neighbors, new_k)
+                    self.max_neighbors = new_k
 
 
 class DenseLoader:

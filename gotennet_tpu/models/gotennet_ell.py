@@ -1,0 +1,320 @@
+"""GotenNet in ELL (padded-neighbor) layout: [N, K] neighbor rows.
+
+Mathematically identical to the edge-list model (models/gotennet.py) —
+same parameter tree, byte-for-byte interchangeable checkpoints — but
+attention softmax is a plain masked softmax over each node's K neighbor
+slots and every neighborhood reduction a dense sum over K: no sorts, no
+scatters, no segment ops on the hot path (the only scatter left is one
+[N*K] scalar count for ``scale_edge``).  Compared to the dense
+``[G, M, M]`` layout the padding cost is O(N*K) instead of O(G*M^2),
+which is the right trade for the 10^2-10^3 atom regime (MD22) where
+degree is capped (reference ``max_num_neighbors=32``,
+gotennet.py:1018) but molecules are far larger than the cap.
+
+Semantics preserved from the reference (gotennet.py:751-1010): zero
+self-loop distances/SH, NodeInit drops self-loops, per-destination
+softmax over real edges only, last layer skips the edge update, X
+starts at zero.  Supports the full config grammar including aggr
+add/mean/max (unlike the dense layout).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from gotennet_tpu.graph.ell_batch import ELLBatch
+from gotennet_tpu.graph.segment import segment_sum
+from gotennet_tpu.models.gotennet import (
+    EQFF,
+    GotenNetConfig,
+    _zero_padded_embed_init,
+    parse_edge_updates,
+)
+from gotennet_tpu.nn.dense import MLP, Dense
+from gotennet_tpu.nn.norms import TensorLayerNorm
+from gotennet_tpu.ops.activations import get_activation
+from gotennet_tpu.ops.cutoffs import cosine_cutoff
+from gotennet_tpu.ops.rbf import get_rbf
+from gotennet_tpu.ops.spherical import (
+    degree_index_map,
+    degree_slices,
+    spherical_harmonics,
+)
+
+__all__ = ["GotenNetELL"]
+
+_NEG = -1e30
+_SOFTMAX_EPS = 1e-16  # PyG softmax denominator guard, for path parity
+
+
+def _aggr_k(aggr: str, data, mask):
+    """Masked reduction over the K (axis=1) neighbor axis with the
+    reference's empty-segment convention (zeros)."""
+    m = mask
+    while m.ndim < data.ndim:
+        m = m[..., None]
+    if aggr == "add":
+        return jnp.sum(data * m, axis=1)
+    if aggr == "mean":
+        cnt = jnp.sum(m, axis=1)
+        return jnp.sum(data * m, axis=1) / jnp.maximum(cnt, 1.0)
+    if aggr == "max":
+        neg = jnp.where(m > 0, data, _NEG)
+        out = jnp.max(neg, axis=1)
+        any_real = jnp.sum(m, axis=1) > 0
+        return jnp.where(any_real, out, jnp.zeros_like(out))
+    raise ValueError(f"Unknown aggr {aggr!r}")
+
+
+class NodeInitELL(fnn.Module):
+    """NodeInit in ELL layout (same params as models.gotennet.NodeInit)."""
+
+    cfg: GotenNetConfig
+
+    @fnn.compact
+    def __call__(self, z, h, nbr, dist, phi, nonloop) -> jnp.ndarray:
+        cfg = self.cfg
+        act = get_activation(cfg.activation)
+        d = cfg.n_atom_basis
+        a_nbr = self.param("A_nbr", jax.nn.initializers.normal(1.0),
+                           (cfg.max_z, d), jnp.float32)
+        env = cosine_cutoff(dist, cfg.cutoff)  # [N, K]
+        r_feat = Dense(d, activation=None, weight_init=cfg.weight_init,
+                       bias_init=cfg.bias_init, name="W_ndp")(phi)
+        msg = a_nbr[z][nbr] * r_feat * env[..., None]  # [N, K, D]
+        m_i = jnp.sum(msg * nonloop[..., None], axis=1)
+        fused = jnp.concatenate([h, m_i], axis=-1)
+        return MLP([2 * d, d, d], activation=act, last_activation=None,
+                   weight_init=cfg.weight_init, bias_init=cfg.bias_init,
+                   norm="layer", name="W_nrd_nru")(fused)
+
+
+class GATAELL(fnn.Module):
+    """GATA in ELL layout (same params as models.gotennet.GATA)."""
+
+    cfg: GotenNetConfig
+    last_layer: bool = False
+    deterministic: bool = True
+
+    @fnn.compact
+    def __call__(self, h, X, t_ij, rl_ij, dist, nbr, nbr_mask, n_edges):
+        cfg = self.cfg
+        act = get_activation(cfg.activation)
+        D = cfg.n_atom_basis
+        H = cfg.num_heads
+        Dh = D // H
+        mult = cfg.multiplier
+        info = parse_edge_updates(cfg.edge_updates)
+        evec_dim = cfg.evec_dim or D
+        emlp_dim = cfg.emlp_dim or D
+        N, K = nbr.shape
+        dense_kw = dict(weight_init=cfg.weight_init, bias_init=cfg.bias_init)
+
+        if cfg.layernorm:
+            h = fnn.LayerNorm(epsilon=1e-5, name="layernorm")(h)
+        if cfg.steerable_norm:
+            X = TensorLayerNorm(D, cfg.lmax, trainable=False,
+                                name="tensor_layernorm")(X)
+
+        q = Dense(D, activation=None, **dense_kw, name="W_q")(h)
+        k = Dense(D, activation=None, **dense_kw, name="W_k")(h)
+
+        x_g = Dense(D, activation=act, **dense_kw, name="gamma_s_0")(h)
+        x_g = Dense(mult * D, activation=None, **dense_kw,
+                    name="gamma_s_1")(x_g)
+        v = Dense(D, activation=act, **dense_kw, name="gamma_v_0")(h)
+        v = Dense(mult * D, activation=None, **dense_kw, name="gamma_v_1")(v)
+
+        t_attn = Dense(D, activation=act, **dense_kw, name="W_re")(t_ij)
+        t_filter = Dense(mult * D, activation=None, **dense_kw,
+                         name="W_rs")(t_ij)  # [N, K, mult*D]
+
+        # ---- attention: SDDMM logits + masked softmax over K ---------
+        logit = jnp.sum(
+            q.reshape(N, 1, H, Dh) * k[nbr].reshape(N, K, H, Dh)
+            * t_attn.reshape(N, K, H, Dh), axis=-1)  # [N, K, H]
+        logit = jnp.where(nbr_mask[..., None], logit, _NEG)
+        lmaxv = jax.lax.stop_gradient(
+            jnp.max(logit, axis=1, keepdims=True))
+        expd = jnp.exp(logit - lmaxv) * nbr_mask[..., None]
+        attn = expd / (jnp.sum(expd, axis=1, keepdims=True) + _SOFTMAX_EPS)
+        if cfg.scale_edge:
+            attn = attn * (jnp.sqrt(n_edges)[..., None] / math.sqrt(D))
+        else:
+            attn = attn / math.sqrt(D)
+        if cfg.attn_dropout > 0.0:
+            attn = fnn.Dropout(cfg.attn_dropout, name="attn_dropout")(
+                attn, deterministic=self.deterministic)
+
+        sea = (attn[..., None] * v[nbr].reshape(N, K, H, (mult * D) // H))
+        sea = sea.reshape(N, K, mult * D)
+        spatial = (t_filter * x_g[nbr]
+                   * cosine_cutoff(dist, cfg.cutoff)[..., None])
+        o = spatial + sea  # [N, K, mult*D]
+
+        chunks = [o[..., i * D:(i + 1) * D] for i in range(mult)]
+        o_s = chunks[0]
+        rest = chunks[1:]
+        deg_map = jnp.asarray(degree_index_map(cfg.lmax), jnp.int32) - 1
+
+        X_j = X[nbr]  # [N, K, L, D]
+        if cfg.sep_dir:
+            o_d = jnp.stack(rest[:cfg.lmax], axis=2)  # [N, K, lmax, D]
+            rest = rest[cfg.lmax:]
+            dX_R = rl_ij[..., None] * jnp.take(o_d, deg_map, axis=2)
+        else:
+            o_d, rest = rest[0], rest[1:]
+            dX_R = rl_ij[..., None] * o_d[:, :, None, :]
+        if cfg.sep_tensor:
+            o_t = jnp.stack(rest[:cfg.lmax], axis=2)
+            dX_X = X_j * jnp.take(o_t, deg_map, axis=2)
+        else:
+            dX_X = X_j * rest[0][:, :, None, :]
+        dX = dX_R + dX_X  # [N, K, L, D]
+
+        # ---- aggregate over K -----------------------------------------
+        h = h + _aggr_k(cfg.aggr, o_s, nbr_mask)
+        X = X + _aggr_k(cfg.aggr, dX, nbr_mask)
+
+        # ---- HTR edge update -------------------------------------------
+        if not self.last_layer and cfg.edge_updates:
+            EQ = Dense(evec_dim, use_bias=False, activation=None,
+                       **dense_kw, name="W_vq")(X)  # [N, L, C]
+            if cfg.sep_htr:
+                blocks = []
+                for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
+                    blocks.append(Dense(
+                        evec_dim, use_bias=False, activation=None,
+                        **dense_kw, name=f"W_vk_{l}")(X[:, lo:hi, :]))
+                EK = jnp.concatenate(blocks, axis=1)
+            else:
+                EK = Dense(evec_dim, use_bias=False, activation=None,
+                           **dense_kw, name="W_vk")(X)
+
+            EQ_i = EQ[:, None]   # [N, 1, L, C] (center = row)
+            EK_j = EK[nbr]       # [N, K, L, C]
+
+            def reject(rep, r):
+                proj = jnp.sum(rep * r[..., None], axis=2, keepdims=True)
+                return rep - proj * r[..., None]
+
+            if cfg.sep_htr:
+                w_ij = jnp.zeros((N, K, evec_dim), o.dtype)
+                for lo, hi in degree_slices(cfg.lmax):
+                    eq_l = EQ_i[:, :, lo:hi]
+                    ek_l = EK_j[:, :, lo:hi]
+                    r_l = rl_ij[:, :, lo:hi]
+                    if info["rej"]:
+                        eq_l = reject(eq_l, r_l)
+                        ek_l = reject(ek_l, -r_l)
+                    w_ij = w_ij + jnp.sum(eq_l * ek_l, axis=2)
+            elif not info["rej"]:
+                w_ij = jnp.sum(EQ_i * EK_j, axis=2)
+            else:
+                w_ij = jnp.sum(
+                    reject(jnp.broadcast_to(EQ_i, EK_j.shape), rl_ij)
+                    * reject(EK_j, -rl_ij), axis=2)
+
+            if info["mlp"] or info["mlpa"]:
+                gamma_t = MLP(
+                    [D, emlp_dim, D], activation=act,
+                    last_activation=None if info["mlp"] else act,
+                    norm=cfg.edge_ln, **dense_kw, name="gamma_t")
+            else:
+                gamma_t = MLP([D, D], activation=act, last_activation=act,
+                              norm=cfg.edge_ln, **dense_kw, name="gamma_t")
+            gt = gamma_t(t_ij)
+
+            gw = w_ij
+            if info["lin_w"] > 0:
+                if info["lin_ln"] == 1:
+                    gw = fnn.LayerNorm(epsilon=1e-5, name="gamma_w_ln")(gw)
+                if info["lin_w"] % 10 == 2:
+                    gw = act(gw)
+                gw = Dense(D, activation=None,
+                           norm="layer" if info["lin_ln"] == 2 else "",
+                           **dense_kw, name="W_edp")(gw)
+            if info["gated"] == "gatedt":
+                gw = jnp.tanh(gw)
+            elif info["gated"] == "gated":
+                gw = jax.nn.sigmoid(gw)
+            elif info["gated"] == "act":
+                gw = jax.nn.silu(gw)
+
+            t_ij = t_ij + gt * gw
+
+        return h, X, t_ij
+
+
+class GotenNetELL(fnn.Module):
+    """Full ELL-layout stack; parameter tree identical to GotenNet."""
+
+    cfg: GotenNetConfig
+
+    @fnn.compact
+    def __call__(self, batch: ELLBatch,
+                 deterministic: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        z, pos = batch.z, batch.pos
+        nbr, nm = batch.nbr, batch.nbr_mask
+        N, K = nbr.shape
+        D = cfg.n_atom_basis
+
+        # neighbor geometry (src − dst convention, reference
+        # layers.py:1589-1600: self-loop distance pinned to 0)
+        vec = pos[nbr] - pos[:, None, :]  # [N, K, 3]
+        self_idx = jnp.arange(N, dtype=nbr.dtype)[:, None]
+        nonloop = nm & (nbr != self_idx)
+        d2 = jnp.sum(vec ** 2, axis=-1)
+        dist = jnp.where(nonloop, jnp.sqrt(jnp.where(nonloop, d2, 1.0)),
+                         0.0)
+        vec_n = jnp.where(nonloop[..., None],
+                          vec / jnp.where(nonloop, dist, 1.0)[..., None],
+                          vec * 0.0)
+        rl_ij = spherical_harmonics(vec_n, cfg.lmax)  # [N, K, L]
+
+        a_na = self.param("A_na", _zero_padded_embed_init,
+                          (cfg.max_z, D), jnp.float32)
+        h = a_na[z]  # [N, D]
+
+        rbf_params, rbf_fn = get_rbf(cfg.radial_basis, cfg.n_rbf, cfg.cutoff)
+        phi = rbf_fn(dist, rbf_params)  # [N, K, R]
+
+        h = NodeInitELL(cfg, name="node_init")(z, h, nbr, dist, phi,
+                                               nonloop)
+        t_ij = EdgeInitELL(cfg, name="edge_init")(phi, h, nbr)
+
+        # per-source real-edge counts (reference gotennet.py:986-989);
+        # the one remaining scatter — [N*K] scalars, negligible
+        counts = segment_sum(nm.reshape(-1).astype(h.dtype),
+                             nbr.reshape(-1), N)
+        n_edges = counts[nbr]  # [N, K]
+
+        X = jnp.zeros((N, cfg.sh_dim, D), h.dtype)
+        gata_cls = fnn.remat(GATAELL) if cfg.remat else GATAELL
+        for i in range(cfg.n_interactions):
+            h, X, t_ij = gata_cls(
+                cfg, last_layer=(i == cfg.n_interactions - 1),
+                deterministic=deterministic, name=f"gata_{i}")(
+                    h, X, t_ij, rl_ij, dist, nbr, nm, n_edges)
+            h, X = EQFF(cfg, name=f"eqff_{i}")(h, X)
+
+        return h, X
+
+
+class EdgeInitELL(fnn.Module):
+    """EdgeInit in ELL layout (same params as models.gotennet.EdgeInit)."""
+
+    cfg: GotenNetConfig
+
+    @fnn.compact
+    def __call__(self, phi, h, nbr) -> jnp.ndarray:
+        w = Dense(self.cfg.n_atom_basis, activation=None,
+                  weight_init="xavier_uniform", bias_init="zeros",
+                  name="W_erp")(phi)  # [N, K, D]
+        return (h[:, None, :] + h[nbr]) * w

@@ -67,9 +67,11 @@ class GotenModel(fnn.Module):
     ``vector_representation`` like the reference batch attributes.
 
     ``layout`` selects the representation implementation:
-    'edge' (flat edge list — large molecules, edge partitioning) or
-    'dense' (batched [G, M, M] blocks — small molecules, MXU-bound).
-    Both share one parameter tree; checkpoints are interchangeable.
+    'edge' (flat edge list — large molecules, edge partitioning),
+    'dense' (batched [G, M, M] blocks — small molecules, MXU-bound), or
+    'ell' (padded [N, K] neighbor rows — large molecules with bounded
+    degree, scatter-free). All share one parameter tree; checkpoints
+    are interchangeable.
     """
 
     cfg: GotenNetConfig
@@ -79,6 +81,9 @@ class GotenModel(fnn.Module):
     @fnn.compact
     def __call__(self, batch,
                  deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        if self.layout not in ("edge", "dense", "ell"):
+            raise ValueError(f"Unknown layout {self.layout!r}; "
+                             "choose edge | dense | ell")
         if self.layout == "dense":
             from gotennet_tpu.graph.dense_batch import flatten_nodes
             from gotennet_tpu.models.gotennet_dense import GotenNetDense
@@ -88,6 +93,10 @@ class GotenModel(fnn.Module):
             h = h.reshape(g * m, -1)
             X = X.reshape(g * m, X.shape[2], X.shape[3])
             batch = flatten_nodes(batch)
+        elif self.layout == "ell":
+            from gotennet_tpu.models.gotennet_ell import GotenNetELL
+            h, X = GotenNetELL(self.cfg, name="representation")(
+                batch, deterministic=deterministic)
         else:
             h, X = GotenNet(self.cfg, name="representation").from_batch(
                 batch, deterministic=deterministic)

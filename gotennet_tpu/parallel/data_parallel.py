@@ -26,7 +26,7 @@ from jax.sharding import PartitionSpec as P
 from gotennet_tpu.graph.batch import GraphBatch
 
 __all__ = ["stack_batches", "shard_graph_batch", "batch_pspec",
-           "make_parallel_train_step"]
+           "pspec_for_layout", "make_parallel_train_step"]
 
 
 def stack_batches(batches: Sequence[GraphBatch]) -> GraphBatch:
@@ -49,10 +49,33 @@ def batch_pspec(edge_axis: Optional[str] = "edge",
     )
 
 
-def shard_graph_batch(batch: GraphBatch, mesh: Mesh,
-                      edge_axis: Optional[str] = "edge") -> GraphBatch:
+def pspec_for_layout(layout: str, edge_axis: Optional[str] = None,
+                     with_forces: bool = False):
+    """PartitionSpec pytree for a stacked batch of any model layout.
+    Only the 'edge' layout supports an extra edge-sharding axis; 'ell'
+    and 'dense' batches shard on the leading device axis only."""
+    node = P("data")
+    if layout == "edge":
+        return batch_pspec(edge_axis, with_forces=with_forces)
+    if layout == "ell":
+        from gotennet_tpu.graph.ell_batch import ELLBatch
+        return ELLBatch(
+            z=node, pos=node, node_graph=node, nbr=node, nbr_mask=node,
+            node_mask=node, graph_mask=node, y=node,
+            dy=node if with_forces else None)
+    if layout == "dense":
+        from gotennet_tpu.graph.dense_batch import DenseBatch
+        return DenseBatch(z=node, pos=node, mask=node, graph_mask=node,
+                          y=node, dy=node if with_forces else None)
+    raise ValueError(f"Unknown layout {layout!r}")
+
+
+def shard_graph_batch(batch, mesh: Mesh,
+                      edge_axis: Optional[str] = "edge",
+                      layout: str = "edge"):
     """Device-put a stacked batch with the canonical sharding."""
-    spec = batch_pspec(edge_axis, with_forces=batch.dy is not None)
+    spec = pspec_for_layout(layout, edge_axis,
+                            with_forces=batch.dy is not None)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         batch, spec)

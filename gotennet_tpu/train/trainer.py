@@ -240,7 +240,7 @@ class Trainer:
         update replicated — one jitted call per optimizer step."""
         from jax.sharding import PartitionSpec as P
 
-        from gotennet_tpu.parallel.data_parallel import batch_pspec
+        from gotennet_tpu.parallel.data_parallel import pspec_for_layout
 
         loss_fn = self.par_loss_fn
         tx = self.tx
@@ -269,7 +269,8 @@ class Trainer:
             logs = dict(logs, loss=loss, grad_norm=gnorm)
             return params, opt_state, logs
 
-        bspec = batch_pspec(edge_axis, with_forces=with_forces)
+        bspec = pspec_for_layout(self.model.layout, edge_axis,
+                                 with_forces=with_forces)
         # with accumulation the batch layout is [device, accum, ...]:
         # keep the device axis sharded, leave the accum axis whole, and
         # shift any edge sharding one axis right
@@ -337,7 +338,7 @@ class Trainer:
         forward outputs are identical across the edge axis)."""
         from jax.sharding import PartitionSpec as P
 
-        from gotennet_tpu.parallel.data_parallel import batch_pspec
+        from gotennet_tpu.parallel.data_parallel import pspec_for_layout
 
         inner = self._make_eval_fn(self.par_loss_fn)
 
@@ -349,8 +350,8 @@ class Trainer:
             return (expand(loss), jax.tree.map(expand, logs),
                     jax.tree.map(expand, preds))
 
-        bspec = batch_pspec(self.edge_axis,
-                            with_forces=self.model.head.derivative)
+        bspec = pspec_for_layout(self.model.layout, self.edge_axis,
+                                 with_forces=self.model.head.derivative)
         mapped = jax.shard_map(
             device_step, mesh=self.mesh,
             in_specs=(P(), bspec),
@@ -392,7 +393,8 @@ class Trainer:
             stack_batches,
         )
         return shard_graph_batch(stack_batches(group), self.mesh,
-                                 edge_axis=self.edge_axis)
+                                 edge_axis=self.edge_axis,
+                                 layout=self.model.layout)
 
     def _train_batches(self, loader):
         """Yield per-optimizer-step batches: accumulation-chunked, and

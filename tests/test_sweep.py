@@ -36,3 +36,51 @@ def test_run_sweep_survives_failures(tmp_path):
     lines = open(os.path.join(str(tmp_path), "sweep.jsonl")).read().strip()
     recs = [json.loads(x) for x in lines.split("\n")]
     assert any("error" in r for r in recs)
+
+
+def test_sample_overrides_distributions():
+    import numpy as np
+    from gotennet_tpu.utils.sweep import sample_overrides
+    rng = np.random.default_rng(0)
+    ovs = ["model.lr=loguniform(1e-5,1e-3)",
+           "model.weight_decay=uniform(0,0.1)",
+           "model.representation.lmax=int(1,3)",
+           "model.representation.aggr=choice(add,mean,max)",
+           "label=homo"]
+    for _ in range(20):
+        t = sample_overrides(ovs, rng)
+        kv = dict(o.split("=", 1) for o in t)
+        assert 1e-5 <= float(kv["model.lr"]) <= 1e-3
+        assert 0.0 <= float(kv["model.weight_decay"]) <= 0.1
+        assert int(kv["model.representation.lmax"]) in (1, 2, 3)
+        assert kv["model.representation.aggr"] in ("add", "mean", "max")
+        assert kv["label"] == "homo"
+
+
+def test_run_random_search_records_best(tmp_path):
+    import json
+    from gotennet_tpu.utils.sweep import run_random_search
+
+    def fake_train(cfg):
+        lr = cfg["lr"]
+        return {"MeanAbsoluteError": (lr - 0.3) ** 2}
+
+    def load(extra):
+        cfg = {"lr": 0.0}
+        for ov in extra:
+            k, _, v = ov.partition("=")
+            if k == "lr":
+                cfg["lr"] = float(v)
+        return cfg
+
+    out = run_random_search(fake_train, load, ["lr=uniform(0,1)"],
+                            n_trials=6, seed=1,
+                            sweep_dir=str(tmp_path),
+                            metric="MeanAbsoluteError")
+    assert len(out) == 6
+    lines = [json.loads(l) for l in
+             open(tmp_path / "sweep.jsonl")]
+    best = [l for l in lines if "best_overrides" in l]
+    assert len(best) == 1
+    vals = [l["metric"] for l in lines if "metric" in l]
+    assert best[0]["best_metric"] == min(vals)
