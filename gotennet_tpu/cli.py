@@ -271,10 +271,23 @@ def test(cfg: Dict) -> Dict[str, float]:
     from gotennet_tpu.utils.hub import resolve_checkpoint
 
     ckpt = resolve_checkpoint(cfg["checkpoint"])
-    model, params, step = load_checkpoint(ckpt)
-    if model is None:
-        raise ValueError(f"checkpoint {ckpt} has no embedded config")
-    meta = load_meta(ckpt)
+    if os.path.isfile(ckpt) and ckpt.endswith(".ckpt"):
+        # published reference Lightning checkpoint: rebuild the FULL
+        # model (representation + head) via the converter — this is the
+        # real-data parity path for BASELINE.md
+        # (test checkpoint=QM9_small_homo)
+        from gotennet_tpu.utils.torch_convert import load_reference_model
+        from gotennet_tpu.tasks.qm9 import QM9_TARGETS
+        model, params, hp = load_reference_model(ckpt)
+        ref_label = hp.get("label")
+        if isinstance(ref_label, int):
+            ref_label = QM9_TARGETS[ref_label]
+        meta = {"label": ref_label, "task": hp.get("task", "QM9")}
+    else:
+        model, params, step = load_checkpoint(ckpt)
+        if model is None:
+            raise ValueError(f"checkpoint {ckpt} has no embedded config")
+        meta = load_meta(ckpt)
 
     # label/task inferred from the checkpoint; explicit CLI override wins
     label = cfg.get("label") or meta.get("label") or "U0"

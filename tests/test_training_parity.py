@@ -291,3 +291,39 @@ def test_training_parity_warmup_matters():
         jl.append(float(logs["loss"]))
     # warmup-suppressed updates learn more slowly -> later losses differ
     assert not math.isclose(jl[-1], losses_nowarm[-1], rel_tol=1e-3)
+
+
+def test_cli_test_evaluates_reference_ckpt(tmp_path):
+    """cli.test on a published-format Lightning .ckpt: full model is
+    rebuilt (head included), label inferred from hyper_parameters —
+    the pre-wired real-data parity path."""
+    import os
+
+    from gotennet_tpu.cli import CONFIG_DIR, test as cli_test
+    from gotennet_tpu.utils.config import load_config
+
+    head = HeadConfig(kind="atomwise", mean=0.2, stddev=1.3,
+                      activation="silu")
+    model = GotenModel(CFG, head)
+    batch = next(iter(_loader()))
+    params = model.init(jax.random.PRNGKey(5), batch)
+    sd = model_params_to_state_dict(params, CFG, head)
+    ckpt = {
+        "hyper_parameters": {
+            "task": "QM9", "label": 7, "cutoff": 5.0,
+            "representation": {"n_atom_basis": 32, "n_interactions": 2,
+                               "lmax": 2, "n_rbf": 8, "num_heads": 4},
+        },
+        "state_dict": {k: torch.as_tensor(np.asarray(v).copy())
+                       for k, v in sd.items()},
+    }
+    path = os.path.join(str(tmp_path), "QM9_small_U0.ckpt")
+    torch.save(ckpt, path)
+
+    cfg = load_config(CONFIG_DIR, "train.yaml",
+                      ["experiment=smoke", f"workdir={tmp_path}/eval",
+                       f"checkpoint={path}"])
+    cfg.pop("label", None)   # must come from the checkpoint
+    os.makedirs(cfg["workdir"], exist_ok=True)
+    results = cli_test(cfg)
+    assert np.isfinite(results["MeanAbsoluteError"])
