@@ -53,9 +53,114 @@ def _rtt_seconds():
     return float(np.median(samples))
 
 
+def bench_pallas():
+    """Microbench BENCH_MODE=pallas: compiled fused-GATA kernel vs the
+    XLA formulation of the same message+aggregate step, flagship dense
+    shapes (M=32, D=256, H=8, lmax=2, sep_dir/sep_tensor on).
+
+    Note (PERF.md): through the axon relay Mosaic kernels execute at
+    interpreter-like speed, so this number only means something on a
+    directly-attached TPU — which is exactly why it is a flag and not
+    the default.
+    """
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from gotennet_tpu.ops.pallas.fused_gata import fused_gata_message
+    from gotennet_tpu.ops.spherical import degree_slices
+
+    # many steps: sub-ms kernels must aggregate far past the ~29 ms
+    # relay RTT for the subtraction to be meaningful
+    G = int(os.environ.get("BENCH_BATCH", 8))
+    n_steps = int(os.environ.get("BENCH_STEPS", 500))
+    M, D, H, lmax = 32, 256, 8, 2
+    L = (lmax + 1) ** 2 - 1
+    mult = 3 + 2 * (lmax - 1)
+    key = jax.random.PRNGKey(0)
+
+    def rand(*s):
+        nonlocal key
+        key, k = jax.random.split(key)
+        return jax.random.normal(k, s, jnp.float32) * 0.3
+
+    t = rand(G, M, M, D)
+    q, k_, xg, v = rand(G, M, D), rand(G, M, D), rand(G, M, mult * D), \
+        rand(G, M, mult * D)
+    rl, X = rand(G, M, M, L), rand(G, M, L, D)
+    env = jnp.abs(rand(G, M, M))
+    scale = jnp.full((G, M, M), 1.0 / math.sqrt(D))
+    W_re, b_re = rand(D, D), rand(D)
+    W_rs, b_rs = rand(D, mult * D), rand(mult * D)
+    rtt = _rtt_seconds()
+
+    def xla_step(t):
+        """Same math in plain XLA (mirrors the oracle/GATADense path)."""
+        ta = t @ W_re + b_re
+        ta = ta * jax.nn.sigmoid(ta)
+        tf = t @ W_rs + b_rs
+        Dh = D // H
+        logits = jnp.einsum(
+            "gihd,gjhd,gijhd->gijh", q.reshape(G, M, H, Dh),
+            k_.reshape(G, M, H, Dh), ta.reshape(G, M, M, H, Dh))
+        ex = jnp.exp(logits - jnp.max(logits, 2, keepdims=True))
+        attn = ex / (ex.sum(2, keepdims=True) + 1e-16) * scale[..., None]
+        af = jnp.repeat(attn, (mult * D) // H, -1)
+        o = tf * xg[:, None] * env[..., None] + af * v[:, None]
+        d_h = o[..., :D].sum(2)
+        off = D
+        blocks = []
+        for l, (lo, hi) in enumerate(degree_slices(lmax)):
+            o_d = o[..., off + l * D: off + (l + 1) * D]
+            blocks.append(jnp.einsum("gijm,gijd->gimd", rl[..., lo:hi], o_d))
+        off += lmax * D
+        for l, (lo, hi) in enumerate(degree_slices(lmax)):
+            o_t = o[..., off + l * D: off + (l + 1) * D]
+            blocks[l] = blocks[l] + jnp.einsum(
+                "gjmd,gijd->gimd", X[..., lo:hi, :], o_t)
+        return d_h, jnp.concatenate(blocks, 2)
+
+    def timed(fn):
+        @jax.jit
+        def run(t):
+            def body(c, _):
+                d_h, dX = fn(t + c * 1e-20)[:2]
+                return c + jnp.sum(d_h[0, 0, :1]) + jnp.sum(dX[0, 0, 0, :1]), None
+            out, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n_steps))
+            return out
+        float(run(t))  # compile
+        t0 = time.time()
+        float(run(t))
+        return max(time.time() - t0 - rtt, 1e-9) / n_steps
+
+    env_signed = jnp.where(env > 0, env, -1.0)
+    fused = lambda tt: fused_gata_message(  # noqa: E731
+        tt, q, k_, xg, v, rl, X, env_signed, scale, W_re, b_re, W_rs, b_rs,
+        lmax=lmax, num_heads=H, sep_dir=True, sep_tensor=True)
+    dt_fused = timed(fused)
+    dt_xla = timed(xla_step)
+    pairs = G * M * M
+    print(json.dumps({
+        "metric": "fused_gata_pairs_per_s",
+        "value": round(pairs / dt_fused, 1),
+        "unit": "pairs/s",
+        "vs_baseline": None,
+        "mode": "pallas",
+        "xla_pairs_per_s": round(pairs / dt_xla, 1),
+        "fused_ms": round(dt_fused * 1e3, 3),
+        "xla_ms": round(dt_xla * 1e3, 3),
+        "batch_graphs": G,
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("BENCH_MODE") == "pallas":
+        return bench_pallas()
 
     batch_size = int(os.environ.get("BENCH_BATCH", 256))
     n_steps = int(os.environ.get("BENCH_STEPS", 20))

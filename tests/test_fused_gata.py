@@ -1,6 +1,7 @@
 """Fused Pallas dense-GATA kernel vs plain-jnp oracle (interpret mode)."""
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,11 +54,9 @@ def _oracle(t, q, k, xg, v, rl, X, env_signed, scale, W_re, b_re, W_rs,
     return d_h, dX, attn
 
 
-@pytest.mark.parametrize("sep", [(True, True), (False, False)])
-def test_fused_matches_oracle(sep):
-    sep_dir, sep_tensor = sep
-    rng = np.random.default_rng(0)
-    G, M, D, H, lmax = 3, 8, 32, 4, 2
+def _random_inputs(seed, G, M, D, H, lmax, sep_dir, sep_tensor):
+    """Random kernel inputs in argument order (shared with tests/hw)."""
+    rng = np.random.default_rng(seed)
     L = (lmax + 1) ** 2 - 1
     mult = 3 + (lmax - 1 if sep_dir else 0) + (lmax - 1 if sep_tensor else 0)
 
@@ -74,17 +73,49 @@ def test_fused_matches_oracle(sep):
     scale = np.full((G, M, M), 1.0 / math.sqrt(D), np.float32)
     W_re, b_re = rand(D, D), rand(D)
     W_rs, b_rs = rand(D, mult * D), rand(mult * D)
+    return t, q, k, xg, v, rl, X, env, scale, W_re, b_re, W_rs, b_rs
+
+
+@pytest.mark.parametrize("sep", [(True, True), (False, False)])
+def test_fused_matches_oracle(sep):
+    sep_dir, sep_tensor = sep
+    G, M, D, H, lmax = 3, 8, 32, 4, 2
+    inputs = _random_inputs(0, G, M, D, H, lmax, sep_dir, sep_tensor)
 
     d_h, dX, attn = jax.jit(
         lambda *a: fused_gata_message(
             *a, lmax=lmax, num_heads=H, sep_dir=sep_dir,
-            sep_tensor=sep_tensor, interpret=True))(
-        t, q, k, xg, v, rl, X, env, scale, W_re, b_re, W_rs, b_rs)
+            sep_tensor=sep_tensor, interpret=True))(*inputs)
 
-    e_dh, e_dX, e_attn = _oracle(t, q, k, xg, v, rl, X, env, scale,
-                                 W_re, b_re, W_rs, b_rs, lmax, H,
-                                 sep_dir, sep_tensor)
+    e_dh, e_dX, e_attn = _oracle(*inputs, lmax, H, sep_dir, sep_tensor)
     np.testing.assert_allclose(np.asarray(attn), e_attn, rtol=2e-4,
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(d_h), e_dh, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dX), e_dX, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(os.environ.get("GOTENNET_TPU_TESTS") != "1",
+                    reason="hardware test; set GOTENNET_TPU_TESTS=1 on a "
+                           "TPU host to run the compiled (non-interpret) "
+                           "kernel")
+def test_fused_on_tpu_hardware():
+    """Compiled Mosaic kernel vs oracle on the real chip.
+
+    Runs tests/hw/fused_gata_hw.py in a subprocess with the suite's
+    CPU-platform pin removed so JAX picks up the TPU (a backend cannot
+    be re-selected inside this process once initialized).
+    """
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8", "").strip()
+    script = os.path.join(os.path.dirname(__file__), "hw", "fused_gata_hw.py")
+    proc = subprocess.run([sys.executable, script], env=env,
+                          capture_output=True, text=True, timeout=1200,
+                          cwd=os.path.dirname(os.path.dirname(script)))
+    if proc.returncode == 3:
+        pytest.skip("no TPU device visible to the subprocess")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "FUSED_GATA_HW_OK" in proc.stdout
