@@ -30,6 +30,7 @@ BENCH_DATASET=qm9|md22 (default qm9: 12-29-atom molecules, batch 256;
 md22: ~120-atom AT-AT-CG-CG-scale frames, batch 32, edge layout).
 """
 
+import functools
 import json
 import os
 import sys
@@ -95,31 +96,43 @@ def bench_pallas():
     W_rs, b_rs = rand(D, mult * D), rand(mult * D)
     rtt = _rtt_seconds()
 
-    def xla_step(t):
-        """Same math in plain XLA (mirrors the oracle/GATADense path)."""
-        ta = t @ W_re + b_re
-        ta = ta * jax.nn.sigmoid(ta)
-        tf = t @ W_rs + b_rs
-        Dh = D // H
-        logits = jnp.einsum(
-            "gihd,gjhd,gijhd->gijh", q.reshape(G, M, H, Dh),
-            k_.reshape(G, M, H, Dh), ta.reshape(G, M, M, H, Dh))
-        ex = jnp.exp(logits - jnp.max(logits, 2, keepdims=True))
-        attn = ex / (ex.sum(2, keepdims=True) + 1e-16) * scale[..., None]
-        af = jnp.repeat(attn, (mult * D) // H, -1)
-        o = tf * xg[:, None] * env[..., None] + af * v[:, None]
-        d_h = o[..., :D].sum(2)
-        off = D
-        blocks = []
-        for l, (lo, hi) in enumerate(degree_slices(lmax)):
-            o_d = o[..., off + l * D: off + (l + 1) * D]
-            blocks.append(jnp.einsum("gijm,gijd->gimd", rl[..., lo:hi], o_d))
-        off += lmax * D
-        for l, (lo, hi) in enumerate(degree_slices(lmax)):
-            o_t = o[..., off + l * D: off + (l + 1) * D]
-            blocks[l] = blocks[l] + jnp.einsum(
-                "gjmd,gijd->gimd", X[..., lo:hi, :], o_t)
-        return d_h, jnp.concatenate(blocks, 2)
+    def make_xla_step(pd):
+        def xla_step(t):
+            """Same math in plain XLA, pair tensors in dtype pd
+            (pd=bf16 mirrors the production GATADense path)."""
+            tp = t.astype(pd)
+            ta = (tp @ W_re.astype(pd) + b_re).astype(pd)
+            ta = ta * jax.nn.sigmoid(ta)
+            tf = (tp @ W_rs.astype(pd) + b_rs).astype(pd)
+            Dh = D // H
+            logits = jnp.einsum(
+                "gihd,gjhd,gijhd->gijh", q.reshape(G, M, H, Dh).astype(pd),
+                k_.reshape(G, M, H, Dh).astype(pd),
+                ta.reshape(G, M, M, H, Dh),
+                preferred_element_type=jnp.float32)
+            ex = jnp.exp(logits - jnp.max(logits, 2, keepdims=True))
+            attn = ex / (ex.sum(2, keepdims=True) + 1e-16) * scale[..., None]
+            af = jnp.repeat(attn.astype(pd), (mult * D) // H, -1)
+            o = tf * xg.astype(pd)[:, None] * env.astype(pd)[..., None] \
+                + af * v.astype(pd)[:, None]
+            d_h = o[..., :D].astype(jnp.float32).sum(2)
+            off = D
+            blocks = []
+            for l, (lo, hi) in enumerate(degree_slices(lmax)):
+                o_d = o[..., off + l * D: off + (l + 1) * D]
+                cols = [jnp.sum((rl[..., m:m + 1].astype(pd)
+                                 * o_d).astype(jnp.float32), axis=2)
+                        for m in range(lo, hi)]
+                blocks.append(jnp.stack(cols, 2))
+            off += lmax * D
+            for l, (lo, hi) in enumerate(degree_slices(lmax)):
+                o_t = o[..., off + l * D: off + (l + 1) * D]
+                cols = [jnp.sum((X[:, None, :, m, :].astype(pd)
+                                 * o_t).astype(jnp.float32), axis=2)
+                        for m in range(lo, hi)]
+                blocks[l] = blocks[l] + jnp.stack(cols, 2)
+            return d_h, jnp.concatenate(blocks, 2)
+        return xla_step
 
     def timed(fn):
         @jax.jit
@@ -135,11 +148,17 @@ def bench_pallas():
         return max(time.time() - t0 - rtt, 1e-9) / n_steps
 
     env_signed = jnp.where(env > 0, env, -1.0)
-    fused = lambda tt: fused_gata_message(  # noqa: E731
-        tt, q, k_, xg, v, rl, X, env_signed, scale, W_re, b_re, W_rs, b_rs,
-        lmax=lmax, num_heads=H, sep_dir=True, sep_tensor=True)
-    dt_fused = timed(fused)
-    dt_xla = timed(xla_step)
+
+    def make_fused(pd):
+        return lambda tt: fused_gata_message(
+            tt, q, k_, xg, v, rl, X, env_signed, scale, W_re, b_re,
+            W_rs, b_rs, lmax=lmax, num_heads=H, sep_dir=True,
+            sep_tensor=True, pair_dtype=pd)
+
+    dt_fused = timed(make_fused(jnp.bfloat16))
+    dt_fused_f32 = timed(make_fused(jnp.float32))
+    dt_xla = timed(make_xla_step(jnp.bfloat16))
+    dt_xla_f32 = timed(make_xla_step(jnp.float32))
     pairs = G * M * M
     print(json.dumps({
         "metric": "fused_gata_pairs_per_s",
@@ -149,7 +168,9 @@ def bench_pallas():
         "mode": "pallas",
         "xla_pairs_per_s": round(pairs / dt_xla, 1),
         "fused_ms": round(dt_fused * 1e3, 3),
+        "fused_f32_ms": round(dt_fused_f32 * 1e3, 3),
         "xla_ms": round(dt_xla * 1e3, 3),
+        "xla_f32_ms": round(dt_xla_f32 * 1e3, 3),
         "batch_graphs": G,
         "device": str(jax.devices()[0]),
     }))
@@ -189,9 +210,12 @@ def main():
     from gotennet_tpu.train.optim import make_optimizer
     from gotennet_tpu.train.trainer import make_loss_fn
 
+    # fused Pallas message kernel is the default headline path
+    # (1.19M vs 1.08M edges/s unfused at batch-256 QM9, v5e-1)
+    fused = os.environ.get("BENCH_FUSED", "1") == "1"
     cfg = GotenNetConfig(
         n_atom_basis=256, n_interactions=4, lmax=2, n_rbf=64, num_heads=8,
-        attn_dropout=0.0,
+        attn_dropout=0.0, fused=fused,
         pair_dtype=jnp.bfloat16 if pair_dtype == "bf16" else jnp.float32)
     task = QM9Task("U0", dataset_meta={"mean": 0.0, "std": 1.0})
     model = GotenModel(cfg, task.build_head(), layout=layout)
@@ -256,7 +280,12 @@ def main():
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
-        @jax.jit
+        # the fused Pallas VJP's working set exceeds the 16M default
+        # scoped-vmem limit at flagship shapes; v5e has 128M VMEM
+        copts = ({"xla_tpu_scoped_vmem_limit_kib": "65536"}
+                 if fused else None)
+
+        @functools.partial(jax.jit, compiler_options=copts)
         def run(params, opt_state):
             (params, opt_state), losses = jax.lax.scan(
                 one_step, (params, opt_state), jnp.arange(n_steps))
@@ -308,6 +337,7 @@ def main():
         "real_edges": real_edges,
         "real_nodes": real_nodes,
         "layout": layout,
+        "fused": fused,
         "pair_dtype": pair_dtype,
         "dataset": dataset,
         "accum_chunks": n_chunks,

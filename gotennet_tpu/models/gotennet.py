@@ -141,6 +141,11 @@ class GotenNetConfig:
     # accumulations stay float32.  float32 (default) is bit-parity with
     # the edge-list path and the reference.
     pair_dtype: Any = jnp.float32
+    # Dense layout only: run message+aggregate as one fused Pallas
+    # kernel (ops/pallas/fused_gata.py) with an analytic Pallas VJP.
+    # Keeps the [G,M,M,mult*D] pair tensor in VMEM instead of HBM.
+    # Requires swish/silu activation, aggr='add', attn_dropout=0.
+    fused: bool = False
 
     def __post_init__(self):
         if self.n_atom_basis % self.num_heads:
@@ -155,6 +160,16 @@ class GotenNetConfig:
         if self.aggr not in ("add", "mean", "max"):
             raise ValueError(f"unknown aggr {self.aggr!r}")
         parse_edge_updates(self.edge_updates)  # validates the string
+        if self.fused:
+            if self.activation not in ("swish", "silu"):
+                raise ValueError(
+                    "fused=True hardcodes silu in the Pallas kernel; "
+                    f"got activation={self.activation!r}")
+            if self.aggr != "add":
+                raise ValueError("fused=True supports aggr='add' only")
+            if self.attn_dropout > 0.0:
+                raise ValueError(
+                    "fused=True does not implement attention dropout")
 
     @property
     def sh_dim(self) -> int:

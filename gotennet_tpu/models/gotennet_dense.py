@@ -36,10 +36,11 @@ from gotennet_tpu.models.gotennet import (
     _zero_padded_embed_init,
     parse_edge_updates,
 )
-from gotennet_tpu.nn.dense import MLP, Dense
+from gotennet_tpu.nn.dense import MLP, Dense, get_weight_init
 from gotennet_tpu.nn.norms import TensorLayerNorm
 from gotennet_tpu.ops.activations import get_activation
 from gotennet_tpu.ops.cutoffs import cosine_cutoff
+from gotennet_tpu.ops.pallas.fused_gata import make_fused_gata
 from gotennet_tpu.ops.rbf import get_rbf
 from gotennet_tpu.ops.spherical import degree_slices, spherical_harmonics
 
@@ -84,6 +85,41 @@ class EdgeInitDense(fnn.Module):
         return (h[:, :, None, :] + h[:, None, :, :]) * w
 
 
+class _LinearLeaf(fnn.Module):
+    """Declares ``kernel``/``bias`` params identical to fnn.Dense but
+    returns them raw (for handing to the fused Pallas kernel)."""
+
+    features: int
+    in_features: int
+    weight_init: str
+    bias_init: str
+
+    @fnn.compact
+    def __call__(self):
+        kernel = self.param("kernel", get_weight_init(self.weight_init),
+                            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", get_weight_init(self.bias_init),
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _LinearParams(fnn.Module):
+    """Same parameter tree (``<name>/linear/{kernel,bias}``) and init RNG
+    derivation as ``nn.dense.Dense`` — checkpoints are interchangeable
+    between the fused and unfused dense paths."""
+
+    features: int
+    in_features: int
+    weight_init: str
+    bias_init: str
+
+    @fnn.compact
+    def __call__(self):
+        return _LinearLeaf(self.features, self.in_features,
+                           self.weight_init, self.bias_init,
+                           name="linear")()
+
+
 class GATADense(fnn.Module):
     """GATA in dense layout (same params as models.gotennet.GATA)."""
 
@@ -121,6 +157,112 @@ class GATADense(fnn.Module):
         v = Dense(mult * D, activation=None, **dense_kw, name="gamma_v_1")(v)
 
         pd = cfg.pair_dtype  # storage dtype for big per-pair tensors
+
+        if cfg.fused:
+            # One Pallas kernel for W_re/W_rs projections + SDDMM +
+            # masked softmax + pair features + j-aggregation; the
+            # [G,M,M,mult*D] pair tensor never touches HBM.  Backward
+            # is the analytic Pallas VJP (make_fused_gata).
+            wre_k, wre_b = _LinearParams(D, D, cfg.weight_init,
+                                         cfg.bias_init, name="W_re")()
+            wrs_k, wrs_b = _LinearParams(mult * D, D, cfg.weight_init,
+                                         cfg.bias_init, name="W_rs")()
+            env_signed = jnp.where(pair_mask,
+                                   cosine_cutoff(dist, cfg.cutoff), -1.0)
+            if cfg.scale_edge:
+                scale = jnp.sqrt(n_edges) / math.sqrt(D)
+            else:
+                scale = jnp.full_like(dist, 1.0 / math.sqrt(D))
+            fused_fn = make_fused_gata(
+                cfg.lmax, H, cfg.sep_dir, cfg.sep_tensor,
+                interpret=jax.default_backend() != "tpu",
+                pair_dtype=pd)
+            d_h, dX = fused_fn(t_ij, q, k, x_g, v, rl_ij, X, env_signed,
+                               scale, wre_k, wre_b, wrs_k, wrs_b)
+        else:
+            d_h, dX = self._unfused_message(
+                cfg, act, t_ij, q, k, x_g, v, rl_ij, X, dist, pair_mask,
+                n_edges, D, H, Dh, mult, dense_kw, pd)
+
+        h = h + d_h
+        X = X + dX
+
+        # ---- HTR edge update (expanded rejection) --------------------
+        if not self.last_layer and cfg.edge_updates:
+            EQ = Dense(evec_dim, use_bias=False, activation=None,
+                       **dense_kw, name="W_vq")(X)  # [G, M, L, C]
+            if cfg.sep_htr:
+                blocks = []
+                for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
+                    blocks.append(Dense(
+                        evec_dim, use_bias=False, activation=None,
+                        **dense_kw, name=f"W_vk_{l}")(X[..., lo:hi, :]))
+                EK = jnp.concatenate(blocks, axis=2)
+            else:
+                EK = Dense(evec_dim, use_bias=False, activation=None,
+                           **dense_kw, name="W_vk")(X)
+
+            def pair_terms(lo, hi):
+                # per-m broadcast multiply-accumulate: einsum forms with
+                # the channel axis as a batch dim force operand
+                # relayouts (see the dX comment above)
+                eq = EQ[..., lo:hi, :].astype(pd)
+                ek = EK[..., lo:hi, :].astype(pd)
+                S = pq = pk = 0.0
+                for m in range(hi - lo):
+                    eq_m = eq[:, :, None, m, :]     # [G, i, 1, C]
+                    ek_m = ek[:, None, :, m, :]     # [G, 1, j, C]
+                    S = S + eq_m * ek_m
+                    if info["rej"]:
+                        r_m = rl_ij[..., lo + m:lo + m + 1].astype(pd)
+                        pq = pq + eq_m * r_m
+                        pk = pk + ek_m * r_m
+                S = S.astype(jnp.float32)
+                if not info["rej"]:
+                    return S
+                r2 = jnp.sum(rl_ij[..., lo:hi] ** 2, axis=-1)[..., None]
+                return S - (pq * pk).astype(jnp.float32) * (2.0 - r2)
+
+            if cfg.sep_htr:
+                w_ij = sum(pair_terms(lo, hi)
+                           for lo, hi in degree_slices(cfg.lmax))
+            else:
+                w_ij = pair_terms(0, rl_ij.shape[-1])
+
+            if info["mlp"] or info["mlpa"]:
+                gamma_t = MLP([D, emlp_dim, D], activation=act,
+                              last_activation=None if info["mlp"] else act,
+                              norm=cfg.edge_ln, **dense_kw, name="gamma_t")
+            else:
+                gamma_t = MLP([D, D], activation=act, last_activation=act,
+                              norm=cfg.edge_ln, **dense_kw, name="gamma_t")
+            gt = gamma_t(t_ij)
+
+            gw = w_ij
+            if info["lin_w"] > 0:
+                if info["lin_ln"] == 1:
+                    gw = fnn.LayerNorm(epsilon=1e-5, name="gamma_w_ln")(gw)
+                if info["lin_w"] % 10 == 2:
+                    gw = act(gw)
+                gw = Dense(D, activation=None,
+                           norm="layer" if info["lin_ln"] == 2 else "",
+                           **dense_kw, name="W_edp")(gw)
+            if info["gated"] == "gatedt":
+                gw = jnp.tanh(gw)
+            elif info["gated"] == "gated":
+                gw = jax.nn.sigmoid(gw)
+            elif info["gated"] == "act":
+                gw = jax.nn.silu(gw)
+
+            t_ij = t_ij + gt * gw
+
+        return h, X, t_ij
+
+    def _unfused_message(self, cfg, act, t_ij, q, k, x_g, v, rl_ij, X,
+                         dist, pair_mask, n_edges, D, H, Dh, mult,
+                         dense_kw, pd):
+        """Plain-XLA message+aggregate (called from the compact
+        __call__; all submodules carry explicit names)."""
         t_attn = Dense(D, activation=act, **dense_kw, dtype=pd,
                        name="W_re")(t_ij)
         t_filter = Dense(mult * D, activation=None, **dense_kw, dtype=pd,
@@ -201,81 +343,7 @@ class GATADense(fnn.Module):
                     axis=2)
                 dX_cols[idx] = dX_cols[idx] + contrib
                 idx += 1
-        dX = jnp.stack(dX_cols, axis=2)  # [G, M, L, D]
-
-        h = h + d_h
-        X = X + dX
-
-        # ---- HTR edge update (expanded rejection) --------------------
-        if not self.last_layer and cfg.edge_updates:
-            EQ = Dense(evec_dim, use_bias=False, activation=None,
-                       **dense_kw, name="W_vq")(X)  # [G, M, L, C]
-            if cfg.sep_htr:
-                blocks = []
-                for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
-                    blocks.append(Dense(
-                        evec_dim, use_bias=False, activation=None,
-                        **dense_kw, name=f"W_vk_{l}")(X[..., lo:hi, :]))
-                EK = jnp.concatenate(blocks, axis=2)
-            else:
-                EK = Dense(evec_dim, use_bias=False, activation=None,
-                           **dense_kw, name="W_vk")(X)
-
-            def pair_terms(lo, hi):
-                # per-m broadcast multiply-accumulate: einsum forms with
-                # the channel axis as a batch dim force operand
-                # relayouts (see the dX comment above)
-                eq = EQ[..., lo:hi, :].astype(pd)
-                ek = EK[..., lo:hi, :].astype(pd)
-                S = pq = pk = 0.0
-                for m in range(hi - lo):
-                    eq_m = eq[:, :, None, m, :]     # [G, i, 1, C]
-                    ek_m = ek[:, None, :, m, :]     # [G, 1, j, C]
-                    S = S + eq_m * ek_m
-                    if info["rej"]:
-                        r_m = rl_ij[..., lo + m:lo + m + 1].astype(pd)
-                        pq = pq + eq_m * r_m
-                        pk = pk + ek_m * r_m
-                S = S.astype(jnp.float32)
-                if not info["rej"]:
-                    return S
-                r2 = jnp.sum(rl_ij[..., lo:hi] ** 2, axis=-1)[..., None]
-                return S - (pq * pk).astype(jnp.float32) * (2.0 - r2)
-
-            if cfg.sep_htr:
-                w_ij = sum(pair_terms(lo, hi)
-                           for lo, hi in degree_slices(cfg.lmax))
-            else:
-                w_ij = pair_terms(0, rl_ij.shape[-1])
-
-            if info["mlp"] or info["mlpa"]:
-                gamma_t = MLP([D, emlp_dim, D], activation=act,
-                              last_activation=None if info["mlp"] else act,
-                              norm=cfg.edge_ln, **dense_kw, name="gamma_t")
-            else:
-                gamma_t = MLP([D, D], activation=act, last_activation=act,
-                              norm=cfg.edge_ln, **dense_kw, name="gamma_t")
-            gt = gamma_t(t_ij)
-
-            gw = w_ij
-            if info["lin_w"] > 0:
-                if info["lin_ln"] == 1:
-                    gw = fnn.LayerNorm(epsilon=1e-5, name="gamma_w_ln")(gw)
-                if info["lin_w"] % 10 == 2:
-                    gw = act(gw)
-                gw = Dense(D, activation=None,
-                           norm="layer" if info["lin_ln"] == 2 else "",
-                           **dense_kw, name="W_edp")(gw)
-            if info["gated"] == "gatedt":
-                gw = jnp.tanh(gw)
-            elif info["gated"] == "gated":
-                gw = jax.nn.sigmoid(gw)
-            elif info["gated"] == "act":
-                gw = jax.nn.silu(gw)
-
-            t_ij = t_ij + gt * gw
-
-        return h, X, t_ij
+        return d_h, jnp.stack(dX_cols, axis=2)  # dX: [G, M, L, D]
 
 
 class GotenNetDense(fnn.Module):

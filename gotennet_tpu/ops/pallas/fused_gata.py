@@ -44,30 +44,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gotennet_tpu.ops.spherical import degree_slices
 
-__all__ = ["fused_gata_message"]
+__all__ = ["fused_gata_message", "make_fused_gata"]
 
 
 def _kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
             scale_ref, wre_ref, bre_ref, wrs_ref, brs_ref,
             dh_ref, dx_ref, attn_ref, *, M, D, H, lmax, mult, sep_dir,
-            sep_tensor):
+            sep_tensor, pair_dtype):
     f32 = jnp.float32
-    t2 = t_ref[0]                           # [MM, D]
+    pd = pair_dtype                         # matmul input dtype (bf16 =
+    t2 = t_ref[0].astype(pd)                # 4x MXU rate; accum stays f32)
 
     # --- attention filter + SDDMM logits ----------------------------
-    ta = jnp.dot(t2, wre_ref[...], preferred_element_type=f32)
+    ta = jnp.dot(t2, wre_ref[...].astype(pd), preferred_element_type=f32)
     ta = ta + bre_ref[...]
     ta = ta * jax.lax.logistic(ta)          # silu / swish
-    q = q_ref[0]                            # [M, D]
-    k = k_ref[0]
+    q = q_ref[0].astype(pd)                 # [M, D]
+    k = k_ref[0].astype(pd)
     qrep = jnp.repeat(q, M, axis=0)         # [(i j), d] — q varies per i
     krep = jnp.tile(k, (M, 1))              # k varies per j
-    p = ta * qrep * krep
+    p = ta.astype(pd) * qrep * krep
     # per-head lane-block reduction via indicator matmul [D, H]
     dh_per = D // H
     col = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // dh_per
     head = jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
-    sel = (col == head).astype(f32)
+    sel = (col == head).astype(pd)
     logits = jnp.dot(p, sel, preferred_element_type=f32)  # [MM, H]
 
     # env carries cutoff*pair_mask (>= 0) for valid pairs, -1 invalid:
@@ -82,56 +83,61 @@ def _kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
     mx = jnp.max(l3, axis=1, keepdims=True)             # [M, 1, H]
     ex = jnp.exp(l3 - mx) * valid.reshape(M, M, 1)
     denom = jnp.sum(ex, axis=1, keepdims=True) + 1e-16  # [M, 1, H]
-    attn = (ex / denom).reshape(M * M, H)
-    attn = attn * scale_ref[0]              # [MM, H] * [MM, 1]
-    attn_ref[0] = attn
+    sm = (ex / denom).reshape(M * M, H)
+    attn_ref[0] = sm                        # pre-scale softmax residual
+    attn = sm * scale_ref[0]                # [MM, H] * [MM, 1]
 
-    xg = xg_ref[0]                          # [M, mult*D]
-    v = v_ref[0]
+    xg = xg_ref[0].astype(pd)               # [M, mult*D]
+    v = v_ref[0].astype(pd)
     e_per = (mult * D) // H                 # channels per head
+    envp = envp.astype(pd)
+    attn_p = attn.astype(pd)
 
     def group(co):
-        """o for channel block [co, co+D): [MM, D]."""
-        tf = jnp.dot(t2, wrs_ref[:, co:co + D],
+        """o for channel block [co, co+D): [MM, D] in pair dtype."""
+        tf = jnp.dot(t2, wrs_ref[:, co:co + D].astype(pd),
                      preferred_element_type=f32) + brs_ref[:, co:co + D]
         # per-channel head coefficient via indicator matmul [H, D]
         ch = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) + co
         hsel = (ch // e_per == jax.lax.broadcasted_iota(
-            jnp.int32, (H, D), 0)).astype(f32)
-        attn_c = jnp.dot(attn, hsel, preferred_element_type=f32)  # [MM, D]
+            jnp.int32, (H, D), 0)).astype(pd)
+        # (Mosaic requires a 32-bit matmul accumulator)
+        attn_c = jnp.dot(attn_p, hsel,
+                         preferred_element_type=f32).astype(pd)  # [MM, D]
         xg_j = jnp.tile(xg[:, co:co + D], (M, 1))
         v_j = jnp.tile(v[:, co:co + D], (M, 1))
-        return tf * xg_j * envp + attn_c * v_j
+        return tf.astype(pd) * xg_j * envp + attn_c * v_j
 
-    # --- scalar group -> d_h ----------------------------------------
+    # --- scalar group -> d_h (j-sums accumulate f32, as in the XLA
+    # path which casts pair products to f32 before reducing) ---------
     o_s = group(0)
-    dh_ref[0] = jnp.sum(o_s.reshape(M, M, D), axis=1)
+    dh_ref[0] = jnp.sum(o_s.reshape(M, M, D).astype(f32), axis=1)
 
     # --- steerable groups -> dX -------------------------------------
-    rl = rl_ref[0]                          # [MM, L]
+    rl = rl_ref[0].astype(pd)               # [MM, L]
     off = D
     for l, (lo, hi) in enumerate(degree_slices(lmax)):
         o_d = group(off + (l * D if sep_dir else 0)).reshape(M, M, D)
         for m in range(lo, hi):
             rl_m = rl[:, m:m + 1].reshape(M, M, 1)
-            dx_ref[0, :, m, :] = jnp.sum(o_d * rl_m, axis=1)
+            dx_ref[0, :, m, :] = jnp.sum((o_d * rl_m).astype(f32), axis=1)
     off += (lmax if sep_dir else 1) * D
     for l, (lo, hi) in enumerate(degree_slices(lmax)):
         o_t = group(off + (l * D if sep_tensor else 0)).reshape(M, M, D)
         for m in range(lo, hi):
-            x_m = x_ref[0, :, m, :]         # [M(j), D]
-            acc = jnp.sum(o_t * x_m[None, :, :], axis=1)
+            x_m = x_ref[0, :, m, :].astype(pd)  # [M(j), D]
+            acc = jnp.sum((o_t * x_m[None, :, :]).astype(f32), axis=1)
             dx_ref[0, :, m, :] = dx_ref[0, :, m, :] + acc
 
 
-@functools.partial(jax.jit, static_argnames=("lmax", "num_heads", "sep_dir",
-                                             "sep_tensor", "interpret"))
-def fused_gata_message(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
-                       W_re, b_re, W_rs, b_rs, *, lmax: int, num_heads: int,
-                       sep_dir: bool, sep_tensor: bool,
-                       interpret: bool = False
-                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run the fused message+aggregate step.
+def _pallas_forward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
+                    W_re, b_re, W_rs, b_rs, *, lmax: int, num_heads: int,
+                    sep_dir: bool, sep_tensor: bool,
+                    interpret: bool = False,
+                    pair_dtype=jnp.float32
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the fused message+aggregate step; returns the PRE-scale
+    softmax [G, M, M, H] as the third output (the VJP residual).
 
     Args:
         t_ij: [G, M, M, D] edge features.
@@ -156,7 +162,7 @@ def fused_gata_message(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
 
     kern = functools.partial(
         _kernel, M=M, D=D, H=H, lmax=lmax, mult=mult, sep_dir=sep_dir,
-        sep_tensor=sep_tensor)
+        sep_tensor=sep_tensor, pair_dtype=pair_dtype)
 
     def spec(shape):
         return pl.BlockSpec((1,) + shape, lambda g: (g,) + (0,) * len(shape),
@@ -190,3 +196,322 @@ def fused_gata_message(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
       env_signed.reshape(G, M * M, 1), scale.reshape(G, M * M, 1),
       W_re, b_re.reshape(1, D), W_rs, b_rs.reshape(1, mult * D))
     return d_h, dX, attn.reshape(G, M, M, H)
+
+
+@functools.partial(jax.jit, static_argnames=("lmax", "num_heads", "sep_dir",
+                                             "sep_tensor", "interpret",
+                                             "pair_dtype"))
+def fused_gata_message(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
+                       W_re, b_re, W_rs, b_rs, *, lmax: int, num_heads: int,
+                       sep_dir: bool, sep_tensor: bool,
+                       interpret: bool = False,
+                       pair_dtype=jnp.float32
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused step with the public (scaled) attention as third output."""
+    d_h, dX, sm = _pallas_forward(
+        t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale, W_re, b_re,
+        W_rs, b_rs, lmax=lmax, num_heads=num_heads, sep_dir=sep_dir,
+        sep_tensor=sep_tensor, interpret=interpret, pair_dtype=pair_dtype)
+    return d_h, dX, sm * scale[..., None]
+
+
+def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
+                scale_ref, wre_ref, bre_ref, wrs_ref, brs_ref, sm_ref,
+                gdh_ref, gdx_ref,
+                gt_ref, gq_ref, gk_ref, gxg_ref, gv_ref, grl_ref, gx_ref,
+                genv_ref, gscale_ref, gwre_ref, gbre_ref, gwrs_ref,
+                gbrs_ref, *, M, D, H, lmax, mult, sep_dir, sep_tensor,
+                pair_dtype):
+    """Analytic VJP of _kernel, one grid step per graph.
+
+    Weight-gradient outputs map every grid step to block 0; grid steps
+    run sequentially on TPU, so they are zero-initialised at g==0 and
+    accumulated in place (the standard Pallas reduction pattern).
+    All elementwise gradient math is f32; only the large matmuls take
+    pair_dtype inputs (f32 accumulation), mirroring the forward and the
+    XLA path's cast placement.
+    """
+    f32 = jnp.float32
+    pd = pair_dtype
+    first = pl.program_id(0) == 0
+
+    t2 = t_ref[0]                           # [MM, D]
+    t2p = t2.astype(pd)
+    env = env_ref[0]                        # [MM, 1]
+    valid = env >= 0.0
+    envp = jnp.maximum(env, 0.0)
+    scale = scale_ref[0]                    # [MM, 1]
+    sm = sm_ref[0]                          # [MM, H] pre-scale softmax
+    attn = sm * scale
+    attn_p = attn.astype(pd)
+    xg = xg_ref[0]                          # [M, mult*D]
+    v = v_ref[0]
+    rl = rl_ref[0]                          # [MM, L]
+    gdh = gdh_ref[0]                        # [M, D]
+    gdx = gdx_ref[0]                        # [M, L, D]
+    e_per = (mult * D) // H
+
+    @pl.when(first)
+    def _init_weight_grads():
+        gwre_ref[...] = jnp.zeros(gwre_ref.shape, f32)
+        gbre_ref[...] = jnp.zeros(gbre_ref.shape, f32)
+        gwrs_ref[...] = jnp.zeros(gwrs_ref.shape, f32)
+        gbrs_ref[...] = jnp.zeros(gbrs_ref.shape, f32)
+
+    def rep_i(a):
+        """[M, D] keyed by i -> [MM, D] over pairs (i major)."""
+        return jnp.repeat(a, M, axis=0)
+
+    def tile_j(a):
+        """[M, D] keyed by j -> [MM, D] over pairs (j minor)."""
+        return jnp.tile(a, (M, 1))
+
+    def isum(a):
+        """sum_i of [MM, D] -> [M(j), D]."""
+        return jnp.sum(a.reshape(M, M, -1), axis=0)
+
+    def jsum(a):
+        """sum_j of [MM, D] -> [M(i), D]."""
+        return jnp.sum(a.reshape(M, M, -1), axis=1)
+
+    g_attn = jnp.zeros((M * M, H), f32)
+    g_env = jnp.zeros((M * M, 1), f32)
+    gt_acc = jnp.zeros((M * M, D), f32)
+
+    def block_bwd(co, g_o, degs_rl, degs_X, g_attn, g_env, gt_acc):
+        """Backprop one distinct channel block [co, co+D).
+
+        g_o: [MM, D] cotangent of o for this block (f32).
+        degs_rl: m-indices whose dir-aggregation used this block
+            (g_rl written here, needs o recompute).
+        degs_X: m-indices whose tensor-aggregation used this block
+            (g_X written here, needs o recompute).
+        """
+        wrs_c = wrs_ref[:, co:co + D].astype(pd)
+        tf = jnp.dot(t2p, wrs_c,
+                     preferred_element_type=f32) + brs_ref[:, co:co + D]
+        ch = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) + co
+        hsel = (ch // e_per == jax.lax.broadcasted_iota(
+            jnp.int32, (H, D), 0)).astype(pd)
+        attn_c = jnp.dot(attn_p, hsel, preferred_element_type=f32)
+        xg_j = tile_j(xg[:, co:co + D])
+        v_j = tile_j(v[:, co:co + D])
+
+        if degs_rl or degs_X:
+            o_c = tf * xg_j * envp + attn_c * v_j
+            for m in degs_rl:
+                gdx_m = rep_i(gdx[:, m, :])       # [MM, D]
+                grl_ref[0, :, m:m + 1] = jnp.sum(gdx_m * o_c, axis=1,
+                                                 keepdims=True)
+            for m in degs_X:
+                gdx_m = rep_i(gdx[:, m, :])
+                gx_ref[0, :, m, :] = isum(o_c * gdx_m)
+
+        g_tf = g_o * xg_j * envp                  # [MM, D]
+        gxg_ref[0, :, co:co + D] = isum(g_o * tf * envp)
+        gv_ref[0, :, co:co + D] = isum(attn_c * g_o)
+        g_env = g_env + jnp.sum(g_o * tf * xg_j, axis=1, keepdims=True)
+        g_attn = g_attn + jax.lax.dot_general(
+            (g_o * v_j).astype(pd), hsel,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)           # [MM, H]
+        # g_t += g_tf @ W_rs_c^T (contract the out axis, no transpose)
+        gt_acc = gt_acc + jax.lax.dot_general(
+            g_tf.astype(pd), wrs_c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        # weight grads accumulate across graphs
+        gw = jax.lax.dot_general(
+            t2p, g_tf.astype(pd),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32)           # [D, D]
+        gwrs_ref[:, co:co + D] = gwrs_ref[:, co:co + D] + gw
+        gbrs_ref[:, co:co + D] = gbrs_ref[:, co:co + D] + jnp.sum(
+            g_tf, axis=0, keepdims=True)
+        return g_attn, g_env, gt_acc
+
+    # ---- scalar block ------------------------------------------------
+    g_attn, g_env, gt_acc = block_bwd(0, rep_i(gdh), (), (),
+                                      g_attn, g_env, gt_acc)
+
+    # ---- dir blocks --------------------------------------------------
+    slices = degree_slices(lmax)
+    off = D
+    if sep_dir:
+        for l, (lo, hi) in enumerate(slices):
+            g_o = sum(rl[:, m:m + 1] * rep_i(gdx[:, m, :])
+                      for m in range(lo, hi))
+            g_attn, g_env, gt_acc = block_bwd(
+                off + l * D, g_o, tuple(range(lo, hi)), (),
+                g_attn, g_env, gt_acc)
+    else:
+        g_o = sum(rl[:, m:m + 1] * rep_i(gdx[:, m, :])
+                  for lo, hi in slices for m in range(lo, hi))
+        g_attn, g_env, gt_acc = block_bwd(
+            off, g_o, tuple(range(slices[0][0], slices[-1][1])), (),
+            g_attn, g_env, gt_acc)
+    off += (lmax if sep_dir else 1) * D
+
+    # ---- tensor blocks -----------------------------------------------
+    if sep_tensor:
+        for l, (lo, hi) in enumerate(slices):
+            g_o = sum(tile_j(x_ref[0, :, m, :]) * rep_i(gdx[:, m, :])
+                      for m in range(lo, hi))
+            g_attn, g_env, gt_acc = block_bwd(
+                off + l * D, g_o, (), tuple(range(lo, hi)),
+                g_attn, g_env, gt_acc)
+    else:
+        g_o = sum(tile_j(x_ref[0, :, m, :]) * rep_i(gdx[:, m, :])
+                  for lo, hi in slices for m in range(lo, hi))
+        g_attn, g_env, gt_acc = block_bwd(
+            off, g_o, (), tuple(range(slices[0][0], slices[-1][1])),
+            g_attn, g_env, gt_acc)
+
+    # ---- attention backward -----------------------------------------
+    gscale_ref[0] = jnp.sum(sm * g_attn, axis=1, keepdims=True)
+    g_sm3 = (g_attn * scale).reshape(M, M, H)
+    sm3 = sm.reshape(M, M, H)
+    s = jnp.sum(sm3 * g_sm3, axis=1, keepdims=True)   # [M, 1, H]
+    g_logits = (sm3 * (g_sm3 - s)).reshape(M * M, H)
+
+    # expand heads back to channels: g_p[ij, d] = g_logits[ij, head(d)]
+    dh_per = D // H
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // dh_per
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+    selT = (col == row).astype(pd)                    # [H, D]
+    g_p = jnp.dot(g_logits.astype(pd), selT,
+                  preferred_element_type=f32)         # [MM, D]
+
+    # recompute ta and silu'
+    zre = jnp.dot(t2p, wre_ref[...].astype(pd),
+                  preferred_element_type=f32) + bre_ref[...]
+    sig = jax.lax.logistic(zre)
+    ta = zre * sig
+    qrep = rep_i(q_ref[0])
+    krep = tile_j(k_ref[0])
+    g_ta = g_p * qrep * krep
+    gq_ref[0] = jsum(g_p * ta * krep)
+    gk_ref[0] = isum(g_p * ta * qrep)
+    g_zre = g_ta * (sig + zre * sig * (1.0 - sig))
+
+    gt_acc = gt_acc + jax.lax.dot_general(
+        g_zre.astype(pd), wre_ref[...].astype(pd),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+    gwre_ref[...] = gwre_ref[...] + jax.lax.dot_general(
+        t2p, g_zre.astype(pd),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    gbre_ref[...] = gbre_ref[...] + jnp.sum(g_zre, axis=0, keepdims=True)
+
+    gt_ref[0] = gt_acc
+    genv_ref[0] = jnp.where(valid, g_env, 0.0)
+
+
+def _pallas_backward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
+                     W_re, b_re, W_rs, b_rs, sm, g_dh, g_dX, *,
+                     lmax: int, num_heads: int, sep_dir: bool,
+                     sep_tensor: bool, interpret: bool = False,
+                     pair_dtype=jnp.float32):
+    """Run the backward kernel; returns cotangents for every
+    differentiable input of _pallas_forward (in input order)."""
+    G, M, _, D = t_ij.shape
+    L = rl_ij.shape[-1]
+    H = num_heads
+    mult = W_rs.shape[1] // D
+
+    kern = functools.partial(
+        _bwd_kernel, M=M, D=D, H=H, lmax=lmax, mult=mult, sep_dir=sep_dir,
+        sep_tensor=sep_tensor, pair_dtype=pair_dtype)
+
+    def spec(shape):
+        return pl.BlockSpec((1,) + shape, lambda g: (g,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda g: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    out_shapes = (
+        jax.ShapeDtypeStruct((G, M * M, D), f32),       # g_t
+        jax.ShapeDtypeStruct((G, M, D), f32),           # g_q
+        jax.ShapeDtypeStruct((G, M, D), f32),           # g_k
+        jax.ShapeDtypeStruct((G, M, mult * D), f32),    # g_xg
+        jax.ShapeDtypeStruct((G, M, mult * D), f32),    # g_v
+        jax.ShapeDtypeStruct((G, M * M, L), f32),       # g_rl
+        jax.ShapeDtypeStruct((G, M, L, D), f32),        # g_X
+        jax.ShapeDtypeStruct((G, M * M, 1), f32),       # g_env
+        jax.ShapeDtypeStruct((G, M * M, 1), f32),       # g_scale
+        jax.ShapeDtypeStruct((D, D), f32),              # g_Wre
+        jax.ShapeDtypeStruct((1, D), f32),              # g_bre
+        jax.ShapeDtypeStruct((D, mult * D), f32),       # g_Wrs
+        jax.ShapeDtypeStruct((1, mult * D), f32),       # g_brs
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[
+            spec((M * M, D)), spec((M, D)), spec((M, D)),
+            spec((M, mult * D)), spec((M, mult * D)),
+            spec((M * M, L)), spec((M, L, D)), spec((M * M, 1)),
+            spec((M * M, 1)),
+            wspec((D, D)), wspec((1, D)), wspec((D, mult * D)),
+            wspec((1, mult * D)),
+            spec((M * M, H)), spec((M, D)), spec((M, L, D)),
+        ],
+        out_specs=(
+            spec((M * M, D)), spec((M, D)), spec((M, D)),
+            spec((M, mult * D)), spec((M, mult * D)),
+            spec((M * M, L)), spec((M, L, D)), spec((M * M, 1)),
+            spec((M * M, 1)),
+            wspec((D, D)), wspec((1, D)), wspec((D, mult * D)),
+            wspec((1, mult * D)),
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(t_ij.reshape(G, M * M, D), q, k, x_g, v,
+      rl_ij.reshape(G, M * M, L), X,
+      env_signed.reshape(G, M * M, 1), scale.reshape(G, M * M, 1),
+      W_re, b_re.reshape(1, D), W_rs, b_rs.reshape(1, mult * D),
+      sm.reshape(G, M * M, H), g_dh, g_dX)
+    (g_t, g_q, g_k, g_xg, g_v, g_rl, g_X, g_env, g_scale,
+     g_Wre, g_bre, g_Wrs, g_brs) = outs
+    return (g_t.reshape(G, M, M, D), g_q, g_k, g_xg, g_v,
+            g_rl.reshape(G, M, M, L), g_X,
+            g_env.reshape(G, M, M), g_scale.reshape(G, M, M),
+            g_Wre, g_bre.reshape(D), g_Wrs, g_brs.reshape(mult * D))
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_gata(lmax: int, num_heads: int, sep_dir: bool,
+                    sep_tensor: bool, interpret: bool = False,
+                    pair_dtype=jnp.float32):
+    """Build the trainable fused step: Pallas forward + Pallas backward
+    wired through jax.custom_vjp.
+
+    Returns fn(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale, W_re,
+    b_re, W_rs, b_rs) -> (d_h, dX).  All tensor inputs are
+    differentiable (env_signed/rl_ij carry the position gradient for
+    force training; the masked region contributes zero).
+    """
+    kw = dict(lmax=lmax, num_heads=num_heads, sep_dir=sep_dir,
+              sep_tensor=sep_tensor, interpret=interpret,
+              pair_dtype=pair_dtype)
+
+    @jax.custom_vjp
+    def fused(*args):
+        d_h, dX, _ = _pallas_forward(*args, **kw)
+        return d_h, dX
+
+    def fwd(*args):
+        d_h, dX, sm = _pallas_forward(*args, **kw)
+        return (d_h, dX), (args, sm)
+
+    def bwd(res, cots):
+        args, sm = res
+        g_dh, g_dX = cots
+        return _pallas_backward(*args, sm, g_dh, g_dX, **kw)
+
+    fused.defvjp(fwd, bwd)
+    return fused

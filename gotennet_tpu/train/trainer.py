@@ -212,6 +212,17 @@ class Trainer:
                                    tensorboard=cfg.tensorboard)
 
     # ---- step builders -------------------------------------------------
+    def _jit(self, fn, **kw):
+        """jit with per-model compiler options: the fused Pallas VJP's
+        working set exceeds the 16M default scoped-vmem limit at
+        production shapes (v5e has 128M VMEM), so raise it when the
+        model uses the fused kernel on a real TPU."""
+        copts = None
+        if (getattr(self.model.cfg, "fused", False)
+                and jax.default_backend() == "tpu"):
+            copts = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+        return jax.jit(fn, compiler_options=copts, **kw)
+
     def _build_train_step(self):
         loss_fn = self.loss_fn
         tx = self.tx
@@ -232,7 +243,7 @@ class Trainer:
             logs = dict(logs, loss=loss, grad_norm=gnorm)
             return params, opt_state, rng, logs
 
-        return jax.jit(train_step, donate_argnums=(0, 1))
+        return self._jit(train_step, donate_argnums=(0, 1))
 
     def _build_parallel_train_step(self):
         """Data(+edge)-parallel train step under shard_map: per-device
@@ -294,7 +305,7 @@ class Trainer:
                                              step_rng, lr_scale)
             return params, opt_state, rng, logs
 
-        return jax.jit(train_step, donate_argnums=(0, 1))
+        return self._jit(train_step, donate_argnums=(0, 1))
 
     def _set_lr(self, opt_state, lr_scale):
         """Write ``base_lr * lr_scale`` into the injected hyperparams."""
@@ -330,7 +341,7 @@ class Trainer:
         return eval_step
 
     def _build_eval_step(self):
-        return jax.jit(self._make_eval_fn(self.loss_fn))
+        return self._jit(self._make_eval_fn(self.loss_fn))
 
     def _build_parallel_eval_step(self):
         """Sharded eval: each data shard evaluates its own batch; preds
@@ -358,7 +369,7 @@ class Trainer:
             out_specs=(P("data"), P("data"), P("data")),
             check_vma=False,
         )
-        return jax.jit(mapped)
+        return self._jit(mapped)
 
     # ---- loops ---------------------------------------------------------
     def lr_scale(self, step: int) -> float:

@@ -59,6 +59,44 @@ def main() -> int:
                                    rtol=2e-2, atol=2e-3)
         np.testing.assert_allclose(np.asarray(dX), e_dX,
                                    rtol=2e-2, atol=2e-3)
+
+    # compiled backward: analytic Pallas VJP vs jax.grad of the jnp
+    # oracle, both running on the chip
+    import jax.numpy as jnp
+    from test_fused_gata import _jnp_oracle
+    from gotennet_tpu.ops.pallas.fused_gata import make_fused_gata
+    lmax, H, sep_dir, sep_tensor = 2, 4, True, True
+    G, M, D = 2, 8, 32
+    L = (lmax + 1) ** 2 - 1
+    inputs = tuple(jnp.asarray(a) for a in _random_inputs(
+        seed=1, G=G, M=M, D=D, H=H, lmax=lmax,
+        sep_dir=sep_dir, sep_tensor=sep_tensor))
+    rng = np.random.default_rng(7)
+    cdh = jnp.asarray(rng.standard_normal((G, M, D)).astype(np.float32))
+    cdX = jnp.asarray(rng.standard_normal((G, M, L, D)).astype(np.float32))
+    fused = make_fused_gata(lmax, H, sep_dir, sep_tensor, interpret=False)
+
+    def loss(fn):
+        def f(*a):
+            d_h, dX = fn(*a)
+            return jnp.sum(d_h * cdh) + jnp.sum(dX * cdX)
+        return f
+
+    oracle_fn = lambda *a: _jnp_oracle(  # noqa: E731
+        *a, lmax, H, sep_dir, sep_tensor)
+    argn = tuple(range(len(inputs)))
+    g_f = jax.jit(jax.grad(loss(fused), argnums=argn))(*inputs)
+    g_o = jax.jit(jax.grad(loss(oracle_fn), argnums=argn))(*inputs)
+    names = ["t", "q", "k", "xg", "v", "rl", "X", "env", "scale",
+             "W_re", "b_re", "W_rs", "b_rs"]
+    for name, a, b in zip(names, g_f, g_o):
+        # atol 1e-2: TPU exp/logistic are hardware approximations and
+        # Pallas vs XLA compile them differently; near-zero grads see
+        # that error amplified (interpret mode pins the math at 2e-3)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=1e-2,
+            err_msg=f"compiled grad mismatch for {name}")
+
     print("FUSED_GATA_HW_OK")
     return 0
 

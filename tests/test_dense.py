@@ -68,6 +68,56 @@ def test_dense_matches_edge_list(cfg):
         off += m
 
 
+@pytest.mark.parametrize("cfg_kw", [
+    dict(),
+    dict(sep_dir=False, sep_tensor=False, scale_edge=True),
+])
+def test_fused_dense_matches_unfused(cfg_kw):
+    """fused=True (Pallas interpret) == unfused dense: outputs AND
+    parameter gradients, from one shared parameter tree."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    base = GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2,
+                          n_rbf=8, num_heads=4, **cfg_kw)
+    fused_cfg = dataclasses.replace(base, fused=True)
+    rng = np.random.default_rng(3)
+    graphs = _graphs(rng)
+    db = collate_dense(graphs, 4, 12)
+
+    m_ref = GotenNetDense(base)
+    m_fused = GotenNetDense(fused_cfg)
+    params = m_ref.init(jax.random.PRNGKey(0), db)
+    params_f = m_fused.init(jax.random.PRNGKey(0), db)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_f))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params_f)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    h_r, X_r = m_ref.apply(params, db)
+    h_f, X_f = m_fused.apply(params, db)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(X_f), np.asarray(X_r),
+                               rtol=2e-4, atol=2e-5)
+
+    def loss(model):
+        def f(p):
+            h, X = model.apply(p, db)
+            return jnp.sum(h ** 2) + jnp.sum(X ** 2)
+        return f
+
+    g_r = jax.grad(loss(m_ref))(params)
+    g_f = jax.grad(loss(m_fused))(params)
+    flat_r = jax.tree_util.tree_leaves_with_path(g_r)
+    flat_f = jax.tree.leaves(g_f)
+    for (path, a), b in zip(flat_r, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-4,
+            err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
+
+
 def test_flatten_nodes_view():
     rng = np.random.default_rng(1)
     graphs = _graphs(rng, sizes=(3, 4))

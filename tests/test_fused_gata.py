@@ -8,7 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gotennet_tpu.ops.pallas.fused_gata import fused_gata_message
+from gotennet_tpu.ops.pallas.fused_gata import (fused_gata_message,
+                                                make_fused_gata)
 from gotennet_tpu.ops.spherical import degree_slices
 
 
@@ -92,6 +93,89 @@ def test_fused_matches_oracle(sep):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(d_h), e_dh, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dX), e_dX, rtol=2e-4, atol=2e-4)
+
+
+def _jnp_oracle(t, q, k, xg, v, rl, X, env_signed, scale, W_re, b_re,
+                W_rs, b_rs, lmax, H, sep_dir, sep_tensor):
+    """Differentiable jnp mirror of _oracle returning (d_h, dX) only.
+
+    jax.grad of this is the autodiff reference for the Pallas backward
+    kernel's analytic VJP.
+    """
+    G, M, _, D = t.shape
+    mult = W_rs.shape[1] // D
+    valid = env_signed >= 0
+    env = jnp.maximum(env_signed, 0.0)
+    ta = t @ W_re + b_re
+    ta = ta * jax.nn.sigmoid(ta)
+    tf = t @ W_rs + b_rs
+    Dh = D // H
+    logits = jnp.einsum("gihd,gjhd,gijhd->gijh",
+                        q.reshape(G, M, H, Dh), k.reshape(G, M, H, Dh),
+                        ta.reshape(G, M, M, H, Dh))
+    logits = jnp.where(valid[..., None], logits, -1e30)
+    mx = jax.lax.stop_gradient(logits.max(axis=2, keepdims=True))
+    ex = jnp.exp(logits - mx) * valid[..., None]
+    attn = ex / (ex.sum(axis=2, keepdims=True) + 1e-16)
+    attn = attn * scale[..., None]
+    e_per = (mult * D) // H
+    attn_full = jnp.repeat(attn, e_per, axis=-1)
+    o = (tf * xg[:, None, :, :] * env[..., None]
+         + attn_full * v[:, None, :, :])
+    d_h = o[..., :D].sum(axis=2)
+    off = D
+    blocks = []
+    for l, (lo, hi) in enumerate(degree_slices(lmax)):
+        o_d = o[..., off + (l * D if sep_dir else 0):
+                off + (l * D if sep_dir else 0) + D]
+        blocks.append(jnp.einsum("gijm,gijd->gimd", rl[..., lo:hi], o_d))
+    off += (lmax if sep_dir else 1) * D
+    for l, (lo, hi) in enumerate(degree_slices(lmax)):
+        o_t = o[..., off + (l * D if sep_tensor else 0):
+                off + (l * D if sep_tensor else 0) + D]
+        blocks[l] = blocks[l] + jnp.einsum("gjmd,gijd->gimd",
+                                           X[:, :, lo:hi, :], o_t)
+    return d_h, jnp.concatenate(blocks, axis=2)
+
+
+@pytest.mark.parametrize("sep", [(True, True), (False, False)])
+def test_fused_backward_matches_autodiff(sep):
+    """Analytic Pallas VJP == jax.grad of the jnp oracle (all 13 args)."""
+    sep_dir, sep_tensor = sep
+    G, M, D, H, lmax = 2, 8, 32, 4, 2
+    inputs = tuple(jnp.asarray(a) for a in _random_inputs(
+        1, G, M, D, H, lmax, sep_dir, sep_tensor))
+    L = (lmax + 1) ** 2 - 1
+    rng = np.random.default_rng(7)
+    cdh = jnp.asarray(rng.standard_normal((G, M, D)).astype(np.float32))
+    cdX = jnp.asarray(rng.standard_normal((G, M, L, D)).astype(np.float32))
+
+    fused = make_fused_gata(lmax, H, sep_dir, sep_tensor, interpret=True)
+
+    def loss(fn):
+        def f(*a):
+            d_h, dX = fn(*a)
+            return jnp.sum(d_h * cdh) + jnp.sum(dX * cdX)
+        return f
+
+    oracle_fn = lambda *a: _jnp_oracle(  # noqa: E731
+        *a, lmax, H, sep_dir, sep_tensor)
+    f_out = fused(*inputs)
+    o_out = oracle_fn(*inputs)
+    np.testing.assert_allclose(np.asarray(f_out[0]), np.asarray(o_out[0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(f_out[1]), np.asarray(o_out[1]),
+                               rtol=2e-4, atol=2e-4)
+
+    argn = tuple(range(len(inputs)))
+    g_f = jax.grad(loss(fused), argnums=argn)(*inputs)
+    g_o = jax.grad(loss(oracle_fn), argnums=argn)(*inputs)
+    names = ["t", "q", "k", "xg", "v", "rl", "X", "env", "scale",
+             "W_re", "b_re", "W_rs", "b_rs"]
+    for name, a, b in zip(names, g_f, g_o):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4,
+            err_msg=f"grad mismatch for {name}")
 
 
 @pytest.mark.skipif(os.environ.get("GOTENNET_TPU_TESTS") != "1",
