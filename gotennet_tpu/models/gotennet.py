@@ -146,6 +146,12 @@ class GotenNetConfig:
     # Keeps the [G,M,M,mult*D] pair tensor in VMEM instead of HBM.
     # Requires swish/silu activation, aggr='add', attn_dropout=0.
     fused: bool = False
+    # Also run the HTR edge update as a Pallas kernel
+    # (ops/pallas/fused_htr.py).  Validated but measured ~5% slower
+    # than XLA's fusion of the same (pure-elementwise) math on v5e
+    # (PERF.md), so off by default; kept for larger-D configs where
+    # the gamma_t matmul dominates.
+    fused_htr: bool = False
 
     def __post_init__(self):
         if self.n_atom_basis % self.num_heads:

@@ -41,6 +41,7 @@ from gotennet_tpu.nn.norms import TensorLayerNorm
 from gotennet_tpu.ops.activations import get_activation
 from gotennet_tpu.ops.cutoffs import cosine_cutoff
 from gotennet_tpu.ops.pallas.fused_gata import make_fused_gata
+from gotennet_tpu.ops.pallas.fused_htr import make_fused_htr
 from gotennet_tpu.ops.rbf import get_rbf
 from gotennet_tpu.ops.spherical import degree_slices, spherical_harmonics
 
@@ -118,6 +119,23 @@ class _LinearParams(fnn.Module):
         return _LinearLeaf(self.features, self.in_features,
                            self.weight_init, self.bias_init,
                            name="linear")()
+
+
+class _MLPLayerParams(fnn.Module):
+    """Param tree of a single-layer ``nn.dense.MLP``
+    (``<name>/layers_0/linear/{kernel,bias}``), returned raw for the
+    fused HTR kernel."""
+
+    features: int
+    in_features: int
+    weight_init: str
+    bias_init: str
+
+    @fnn.compact
+    def __call__(self):
+        return _LinearParams(self.features, self.in_features,
+                             self.weight_init, self.bias_init,
+                             name="layers_0")()
 
 
 class GATADense(fnn.Module):
@@ -201,6 +219,23 @@ class GATADense(fnn.Module):
             else:
                 EK = Dense(evec_dim, use_bias=False, activation=None,
                            **dense_kw, name="W_vk")(X)
+
+            # fused path: flagship grammar (plus norej/gating) runs as
+            # one Pallas kernel over the pair axis — z/gt/S/pq/pk/w
+            # stay in VMEM (see ops/pallas/fused_htr.py)
+            if (cfg.fused and cfg.fused_htr
+                    and not info["mlp"] and not info["mlpa"]
+                    and info["lin_w"] == 0 and info["lin_ln"] == 0
+                    and cfg.edge_ln == "" and evec_dim == D):
+                gt_k, gt_b = _MLPLayerParams(D, D, cfg.weight_init,
+                                             cfg.bias_init,
+                                             name="gamma_t")()
+                htr_fn = make_fused_htr(
+                    cfg.lmax, cfg.sep_htr, info["rej"],
+                    info["gated"] or "",
+                    interpret=jax.default_backend() != "tpu",
+                    pair_dtype=pd)
+                return h, X, htr_fn(t_ij, EQ, EK, rl_ij, gt_k, gt_b)
 
             def pair_terms(lo, hi):
                 # per-m broadcast multiply-accumulate: einsum forms with

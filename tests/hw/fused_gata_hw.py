@@ -97,6 +97,30 @@ def main() -> int:
             np.asarray(a), np.asarray(b), rtol=2e-2, atol=1e-2,
             err_msg=f"compiled grad mismatch for {name}")
 
+    # compiled HTR edge-update kernel: forward + backward vs oracle
+    from test_fused_htr import _inputs as htr_inputs, _oracle as htr_oracle
+    from gotennet_tpu.ops.pallas.fused_htr import make_fused_htr
+    variant = dict(sep_htr=True, rej=True, gate="")
+    hin = htr_inputs(0, 2, 8, 32, 2)
+    htr = make_fused_htr(2, variant["sep_htr"], variant["rej"],
+                         variant["gate"], interpret=False)
+    out = htr(*hin)
+    exp = htr_oracle(*hin, 2, **variant)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp),
+                               rtol=2e-2, atol=1e-2)
+    cot = jnp.asarray(np.random.default_rng(9).standard_normal(
+        out.shape).astype(np.float32))
+    g_f = jax.jit(jax.grad(
+        lambda *a: jnp.sum(htr(*a) * cot),
+        argnums=tuple(range(6))))(*hin)
+    g_o = jax.jit(jax.grad(
+        lambda *a: jnp.sum(htr_oracle(*a, 2, **variant) * cot),
+        argnums=tuple(range(6))))(*hin)
+    for name, a, b in zip(["t", "eq", "ek", "rl", "W_g", "b_g"], g_f, g_o):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=1e-2,
+            err_msg=f"compiled HTR grad mismatch for {name}")
+
     print("FUSED_GATA_HW_OK")
     return 0
 

@@ -81,7 +81,7 @@ def test_fused_dense_matches_unfused(cfg_kw):
 
     base = GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2,
                           n_rbf=8, num_heads=4, **cfg_kw)
-    fused_cfg = dataclasses.replace(base, fused=True)
+    fused_cfg = dataclasses.replace(base, fused=True, fused_htr=True)
     rng = np.random.default_rng(3)
     graphs = _graphs(rng)
     db = collate_dense(graphs, 4, 12)
