@@ -238,7 +238,11 @@ def main():
     real_edges = int(np.asarray(eb.edge_mask).sum())
     real_nodes = int(np.asarray(eb.node_mask).sum())
     if layout == "dense":
-        chunks = list(DenseLoader(ds, batch_size=chunk))[:n_chunks]
+        # pad M to a power of two at MD22 scale so the fused kernel's
+        # i-tile divides evenly (128 -> TI=32)
+        ma = 128 if (dataset == "md22" and fused) else None
+        chunks = list(DenseLoader(ds, batch_size=chunk,
+                                  max_atoms=ma))[:n_chunks]
         example = chunks[0]
         padded_pairs = int(n_chunks * example.num_graphs
                            * example.max_atoms ** 2)
@@ -256,7 +260,11 @@ def main():
     batch = jax.tree.map(lambda *xs: jnp.stack(xs), *chunks) \
         if n_chunks > 1 else chunks[0]
 
-    params = model.init(jax.random.PRNGKey(0), example)
+    vmem_kib = os.environ.get("BENCH_VMEM_KIB", "65536")
+    init_copts = ({"xla_tpu_scoped_vmem_limit_kib": vmem_kib}
+                  if fused else None)
+    params = jax.jit(model.init, compiler_options=init_copts)(
+        jax.random.PRNGKey(0), example)
     loss_fn = make_loss_fn(model, task)
     rtt = _rtt_seconds()
 
@@ -286,7 +294,7 @@ def main():
 
         # the fused Pallas VJP's working set exceeds the 16M default
         # scoped-vmem limit at flagship shapes; v5e has 128M VMEM
-        copts = ({"xla_tpu_scoped_vmem_limit_kib": "65536"}
+        copts = ({"xla_tpu_scoped_vmem_limit_kib": vmem_kib}
                  if fused else None)
 
         @functools.partial(jax.jit, compiler_options=copts)

@@ -1,6 +1,6 @@
 """Fused dense-GATA message+aggregate Pallas kernel.
 
-One grid step per graph computes, entirely in VMEM:
+One grid step per (graph, i-tile) computes, entirely in VMEM:
 
     t_attn   = act(t @ W_re + b_re)                  (edge attention filter)
     logits   = sum_d q_i * k_j * t_attn              (SDDMM)
@@ -13,8 +13,14 @@ One grid step per graph computes, entirely in VMEM:
 The [M*M, mult*D]-sized tensors (t_filter, o) exist only as VMEM
 tiles — in the XLA formulation they dominate HBM traffic (profiled:
 >2/3 of the forward).  Channel groups (scalar / per-degree dir /
-per-degree tensor) are processed sequentially so peak VMEM stays well
-under the ~16 MB budget.
+per-degree tensor) are processed sequentially to bound peak VMEM.
+
+For large M (MD22-scale: 100+ atoms) the i axis is tiled
+(``_pick_i_tile``): each grid step handles a TI-row slab of pairs
+with the full j axis resident, so the softmax stays exact — no
+online rescaling — while VMEM and Mosaic compile time stay bounded.
+j-indexed gradients accumulate across a graph's i-tiles in place
+(sequential TPU grid).
 
 Layout notes (Mosaic constraints): pair-indexed tensors arrive
 flattened as ``[G, M*M, F]`` with the feature axis minor — lane->
@@ -47,45 +53,63 @@ from gotennet_tpu.ops.spherical import degree_slices
 __all__ = ["fused_gata_message", "make_fused_gata"]
 
 
+def _pick_i_tile(M: int, max_pairs: int = 4096) -> int:
+    """Rows of i handled per grid step: the largest divisor of M whose
+    pair block TI*M stays under ``max_pairs`` (QM9's M=32 -> one tile;
+    M=128 -> TI=32).  Keeps VMEM and Mosaic compile time bounded at
+    large M."""
+    if M * M <= max_pairs:
+        return M
+    best = 1
+    for ti in range(1, M + 1):
+        if M % ti == 0 and ti * M <= max_pairs:
+            best = ti
+    return best
+
+
 def _kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
             scale_ref, wre_ref, bre_ref, wrs_ref, brs_ref,
-            dh_ref, dx_ref, attn_ref, *, M, D, H, lmax, mult, sep_dir,
+            dh_ref, dx_ref, attn_ref, *, TI, M, D, H, lmax, mult, sep_dir,
             sep_tensor, pair_dtype):
+    """One grid step = one TI-row i-slab of one graph; the full j axis
+    (M columns) is resident, so the softmax is exact (no online
+    rescaling).  TB = TI*M pairs per step."""
     f32 = jnp.float32
     pd = pair_dtype                         # matmul input dtype (bf16 =
     t2 = t_ref[0].astype(pd)                # 4x MXU rate; accum stays f32)
+    TB = TI * M
 
     # --- attention filter + SDDMM logits ----------------------------
     ta = jnp.dot(t2, wre_ref[...].astype(pd), preferred_element_type=f32)
     ta = ta + bre_ref[...]
     ta = ta * jax.lax.logistic(ta)          # silu / swish
-    q = q_ref[0].astype(pd)                 # [M, D]
-    k = k_ref[0].astype(pd)
+    q = q_ref[0].astype(pd)                 # [TI, D]
+    k = k_ref[0].astype(pd)                 # [M, D]
     qrep = jnp.repeat(q, M, axis=0)         # [(i j), d] — q varies per i
-    krep = jnp.tile(k, (M, 1))              # k varies per j
+    krep = jnp.tile(k, (TI, 1))             # k varies per j
     p = ta.astype(pd) * qrep * krep
     # per-head lane-block reduction via indicator matmul [D, H]
     dh_per = D // H
     col = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // dh_per
     head = jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
     sel = (col == head).astype(pd)
-    logits = jnp.dot(p, sel, preferred_element_type=f32)  # [MM, H]
+    logits = jnp.dot(p, sel, preferred_element_type=f32)  # [TB, H]
 
     # env carries cutoff*pair_mask (>= 0) for valid pairs, -1 invalid:
     # the sign encodes the pair mask so one input serves both purposes
-    env = env_ref[0]                        # [MM, 1]
+    env = env_ref[0]                        # [TB, 1]
     valid = env >= 0.0
     envp = jnp.maximum(env, 0.0)
 
     neg = jnp.float32(-1e30)
     logits = jnp.where(valid, logits, neg)
-    l3 = logits.reshape(M, M, H)
-    mx = jnp.max(l3, axis=1, keepdims=True)             # [M, 1, H]
-    ex = jnp.exp(l3 - mx) * valid.reshape(M, M, 1)
-    denom = jnp.sum(ex, axis=1, keepdims=True) + 1e-16  # [M, 1, H]
-    sm = (ex / denom).reshape(M * M, H)
+    l3 = logits.reshape(TI, M, H)
+    mx = jnp.max(l3, axis=1, keepdims=True)             # [TI, 1, H]
+    ex = jnp.exp(l3 - mx) * valid.reshape(TI, M, 1)
+    denom = jnp.sum(ex, axis=1, keepdims=True) + 1e-16  # [TI, 1, H]
+    sm = (ex / denom).reshape(TB, H)
     attn_ref[0] = sm                        # pre-scale softmax residual
-    attn = sm * scale_ref[0]                # [MM, H] * [MM, 1]
+    attn = sm * scale_ref[0]                # [TB, H] * [TB, 1]
 
     xg = xg_ref[0].astype(pd)               # [M, mult*D]
     v = v_ref[0].astype(pd)
@@ -94,7 +118,7 @@ def _kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
     attn_p = attn.astype(pd)
 
     def group(co):
-        """o for channel block [co, co+D): [MM, D] in pair dtype."""
+        """o for channel block [co, co+D): [TB, D] in pair dtype."""
         tf = jnp.dot(t2, wrs_ref[:, co:co + D].astype(pd),
                      preferred_element_type=f32) + brs_ref[:, co:co + D]
         # per-channel head coefficient via indicator matmul [H, D]
@@ -103,27 +127,27 @@ def _kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
             jnp.int32, (H, D), 0)).astype(pd)
         # (Mosaic requires a 32-bit matmul accumulator)
         attn_c = jnp.dot(attn_p, hsel,
-                         preferred_element_type=f32).astype(pd)  # [MM, D]
-        xg_j = jnp.tile(xg[:, co:co + D], (M, 1))
-        v_j = jnp.tile(v[:, co:co + D], (M, 1))
+                         preferred_element_type=f32).astype(pd)  # [TB, D]
+        xg_j = jnp.tile(xg[:, co:co + D], (TI, 1))
+        v_j = jnp.tile(v[:, co:co + D], (TI, 1))
         return tf.astype(pd) * xg_j * envp + attn_c * v_j
 
     # --- scalar group -> d_h (j-sums accumulate f32, as in the XLA
     # path which casts pair products to f32 before reducing) ---------
     o_s = group(0)
-    dh_ref[0] = jnp.sum(o_s.reshape(M, M, D).astype(f32), axis=1)
+    dh_ref[0] = jnp.sum(o_s.reshape(TI, M, D).astype(f32), axis=1)
 
     # --- steerable groups -> dX -------------------------------------
-    rl = rl_ref[0].astype(pd)               # [MM, L]
+    rl = rl_ref[0].astype(pd)               # [TB, L]
     off = D
     for l, (lo, hi) in enumerate(degree_slices(lmax)):
-        o_d = group(off + (l * D if sep_dir else 0)).reshape(M, M, D)
+        o_d = group(off + (l * D if sep_dir else 0)).reshape(TI, M, D)
         for m in range(lo, hi):
-            rl_m = rl[:, m:m + 1].reshape(M, M, 1)
+            rl_m = rl[:, m:m + 1].reshape(TI, M, 1)
             dx_ref[0, :, m, :] = jnp.sum((o_d * rl_m).astype(f32), axis=1)
     off += (lmax if sep_dir else 1) * D
     for l, (lo, hi) in enumerate(degree_slices(lmax)):
-        o_t = group(off + (l * D if sep_tensor else 0)).reshape(M, M, D)
+        o_t = group(off + (l * D if sep_tensor else 0)).reshape(TI, M, D)
         for m in range(lo, hi):
             x_m = x_ref[0, :, m, :].astype(pd)  # [M(j), D]
             acc = jnp.sum((o_t * x_m[None, :, :]).astype(f32), axis=1)
@@ -159,17 +183,27 @@ def _pallas_forward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
     L = rl_ij.shape[-1]
     H = num_heads
     mult = W_rs.shape[1] // D
+    TI = _pick_i_tile(M)
+    NI = M // TI
 
     kern = functools.partial(
-        _kernel, M=M, D=D, H=H, lmax=lmax, mult=mult, sep_dir=sep_dir,
-        sep_tensor=sep_tensor, pair_dtype=pair_dtype)
+        _kernel, TI=TI, M=M, D=D, H=H, lmax=lmax, mult=mult,
+        sep_dir=sep_dir, sep_tensor=sep_tensor, pair_dtype=pair_dtype)
 
-    def spec(shape):
-        return pl.BlockSpec((1,) + shape, lambda g: (g,) + (0,) * len(shape),
+    def ispec(shape):
+        """Pair/i-indexed block: varies with the i-tile."""
+        return pl.BlockSpec((1,) + shape,
+                            lambda g, i: (g, i) + (0,) * (len(shape) - 1),
+                            memory_space=pltpu.VMEM)
+
+    def gspec(shape):
+        """Graph-indexed block: full along every non-batch axis."""
+        return pl.BlockSpec((1,) + shape,
+                            lambda g, i: (g,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     def wspec(shape):
-        return pl.BlockSpec(shape, lambda g: (0,) * len(shape),
+        return pl.BlockSpec(shape, lambda g, i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     out_shapes = (
@@ -179,16 +213,16 @@ def _pallas_forward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
     )
     d_h, dX, attn = pl.pallas_call(
         kern,
-        grid=(G,),
+        grid=(G, NI),
         in_specs=[
-            spec((M * M, D)), spec((M, D)), spec((M, D)),
-            spec((M, mult * D)), spec((M, mult * D)),
-            spec((M * M, L)), spec((M, L, D)), spec((M * M, 1)),
-            spec((M * M, 1)),
+            ispec((TI * M, D)), ispec((TI, D)), gspec((M, D)),
+            gspec((M, mult * D)), gspec((M, mult * D)),
+            ispec((TI * M, L)), gspec((M, L, D)), ispec((TI * M, 1)),
+            ispec((TI * M, 1)),
             wspec((D, D)), wspec((1, D)), wspec((D, mult * D)),
             wspec((1, mult * D)),
         ],
-        out_specs=(spec((M, D)), spec((M, L, D)), spec((M * M, H))),
+        out_specs=(ispec((TI, D)), ispec((TI, L, D)), ispec((TI * M, H))),
         out_shape=out_shapes,
         interpret=interpret,
     )(t_ij.reshape(G, M * M, D), q, k, x_g, v,
@@ -220,35 +254,39 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
                 gdh_ref, gdx_ref,
                 gt_ref, gq_ref, gk_ref, gxg_ref, gv_ref, grl_ref, gx_ref,
                 genv_ref, gscale_ref, gwre_ref, gbre_ref, gwrs_ref,
-                gbrs_ref, *, M, D, H, lmax, mult, sep_dir, sep_tensor,
+                gbrs_ref, *, TI, M, D, H, lmax, mult, sep_dir, sep_tensor,
                 pair_dtype):
-    """Analytic VJP of _kernel, one grid step per graph.
+    """Analytic VJP of _kernel, one grid step per (graph, i-tile).
 
-    Weight-gradient outputs map every grid step to block 0; grid steps
-    run sequentially on TPU, so they are zero-initialised at g==0 and
-    accumulated in place (the standard Pallas reduction pattern).
+    Weight-gradient outputs map every grid step to block 0 and are
+    zero-initialised at the first step; j-indexed gradients (g_k, g_xg,
+    g_v, g_X) map to per-graph blocks and are zero-initialised at each
+    graph's first i-tile — grid steps run sequentially on TPU, so both
+    accumulate in place (the standard Pallas reduction pattern).
     All elementwise gradient math is f32; only the large matmuls take
     pair_dtype inputs (f32 accumulation), mirroring the forward and the
     XLA path's cast placement.
     """
     f32 = jnp.float32
     pd = pair_dtype
-    first = pl.program_id(0) == 0
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    first_tile = pl.program_id(1) == 0
+    TB = TI * M
 
-    t2 = t_ref[0]                           # [MM, D]
+    t2 = t_ref[0]                           # [TB, D]
     t2p = t2.astype(pd)
-    env = env_ref[0]                        # [MM, 1]
+    env = env_ref[0]                        # [TB, 1]
     valid = env >= 0.0
     envp = jnp.maximum(env, 0.0)
-    scale = scale_ref[0]                    # [MM, 1]
-    sm = sm_ref[0]                          # [MM, H] pre-scale softmax
+    scale = scale_ref[0]                    # [TB, 1]
+    sm = sm_ref[0]                          # [TB, H] pre-scale softmax
     attn = sm * scale
     attn_p = attn.astype(pd)
     xg = xg_ref[0]                          # [M, mult*D]
     v = v_ref[0]
-    rl = rl_ref[0]                          # [MM, L]
-    gdh = gdh_ref[0]                        # [M, D]
-    gdx = gdx_ref[0]                        # [M, L, D]
+    rl = rl_ref[0]                          # [TB, L]
+    gdh = gdh_ref[0]                        # [TI, D]
+    gdx = gdx_ref[0]                        # [TI, L, D]
     e_per = (mult * D) // H
 
     @pl.when(first)
@@ -258,30 +296,37 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
         gwrs_ref[...] = jnp.zeros(gwrs_ref.shape, f32)
         gbrs_ref[...] = jnp.zeros(gbrs_ref.shape, f32)
 
+    @pl.when(first_tile)
+    def _init_j_grads():
+        gk_ref[...] = jnp.zeros(gk_ref.shape, f32)
+        gxg_ref[...] = jnp.zeros(gxg_ref.shape, f32)
+        gv_ref[...] = jnp.zeros(gv_ref.shape, f32)
+        gx_ref[...] = jnp.zeros(gx_ref.shape, f32)
+
     def rep_i(a):
-        """[M, D] keyed by i -> [MM, D] over pairs (i major)."""
+        """[TI, D] keyed by i -> [TB, D] over pairs (i major)."""
         return jnp.repeat(a, M, axis=0)
 
     def tile_j(a):
-        """[M, D] keyed by j -> [MM, D] over pairs (j minor)."""
-        return jnp.tile(a, (M, 1))
+        """[M, D] keyed by j -> [TB, D] over pairs (j minor)."""
+        return jnp.tile(a, (TI, 1))
 
     def isum(a):
-        """sum_i of [MM, D] -> [M(j), D]."""
-        return jnp.sum(a.reshape(M, M, -1), axis=0)
+        """sum_i of [TB, D] -> [M(j), D] (partial over this i-tile)."""
+        return jnp.sum(a.reshape(TI, M, -1), axis=0)
 
     def jsum(a):
-        """sum_j of [MM, D] -> [M(i), D]."""
-        return jnp.sum(a.reshape(M, M, -1), axis=1)
+        """sum_j of [TB, D] -> [TI(i), D]."""
+        return jnp.sum(a.reshape(TI, M, -1), axis=1)
 
-    g_attn = jnp.zeros((M * M, H), f32)
-    g_env = jnp.zeros((M * M, 1), f32)
-    gt_acc = jnp.zeros((M * M, D), f32)
+    g_attn = jnp.zeros((TB, H), f32)
+    g_env = jnp.zeros((TB, 1), f32)
+    gt_acc = jnp.zeros((TB, D), f32)
 
     def block_bwd(co, g_o, degs_rl, degs_X, g_attn, g_env, gt_acc):
         """Backprop one distinct channel block [co, co+D).
 
-        g_o: [MM, D] cotangent of o for this block (f32).
+        g_o: [TB, D] cotangent of o for this block (f32).
         degs_rl: m-indices whose dir-aggregation used this block
             (g_rl written here, needs o recompute).
         degs_X: m-indices whose tensor-aggregation used this block
@@ -300,16 +345,18 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
         if degs_rl or degs_X:
             o_c = tf * xg_j * envp + attn_c * v_j
             for m in degs_rl:
-                gdx_m = rep_i(gdx[:, m, :])       # [MM, D]
+                gdx_m = rep_i(gdx[:, m, :])       # [TB, D]
                 grl_ref[0, :, m:m + 1] = jnp.sum(gdx_m * o_c, axis=1,
                                                  keepdims=True)
             for m in degs_X:
                 gdx_m = rep_i(gdx[:, m, :])
-                gx_ref[0, :, m, :] = isum(o_c * gdx_m)
+                gx_ref[0, :, m, :] = gx_ref[0, :, m, :] + isum(o_c * gdx_m)
 
-        g_tf = g_o * xg_j * envp                  # [MM, D]
-        gxg_ref[0, :, co:co + D] = isum(g_o * tf * envp)
-        gv_ref[0, :, co:co + D] = isum(attn_c * g_o)
+        g_tf = g_o * xg_j * envp                  # [TB, D]
+        gxg_ref[0, :, co:co + D] = (gxg_ref[0, :, co:co + D]
+                                    + isum(g_o * tf * envp))
+        gv_ref[0, :, co:co + D] = (gv_ref[0, :, co:co + D]
+                                   + isum(attn_c * g_o))
         g_env = g_env + jnp.sum(g_o * tf * xg_j, axis=1, keepdims=True)
         g_attn = g_attn + jax.lax.dot_general(
             (g_o * v_j).astype(pd), hsel,
@@ -369,10 +416,10 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
 
     # ---- attention backward -----------------------------------------
     gscale_ref[0] = jnp.sum(sm * g_attn, axis=1, keepdims=True)
-    g_sm3 = (g_attn * scale).reshape(M, M, H)
-    sm3 = sm.reshape(M, M, H)
-    s = jnp.sum(sm3 * g_sm3, axis=1, keepdims=True)   # [M, 1, H]
-    g_logits = (sm3 * (g_sm3 - s)).reshape(M * M, H)
+    g_sm3 = (g_attn * scale).reshape(TI, M, H)
+    sm3 = sm.reshape(TI, M, H)
+    s = jnp.sum(sm3 * g_sm3, axis=1, keepdims=True)   # [TI, 1, H]
+    g_logits = (sm3 * (g_sm3 - s)).reshape(TB, H)
 
     # expand heads back to channels: g_p[ij, d] = g_logits[ij, head(d)]
     dh_per = D // H
@@ -380,7 +427,7 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
     row = jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
     selT = (col == row).astype(pd)                    # [H, D]
     g_p = jnp.dot(g_logits.astype(pd), selT,
-                  preferred_element_type=f32)         # [MM, D]
+                  preferred_element_type=f32)         # [TB, D]
 
     # recompute ta and silu'
     zre = jnp.dot(t2p, wre_ref[...].astype(pd),
@@ -391,7 +438,7 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
     krep = tile_j(k_ref[0])
     g_ta = g_p * qrep * krep
     gq_ref[0] = jsum(g_p * ta * krep)
-    gk_ref[0] = isum(g_p * ta * qrep)
+    gk_ref[0] = gk_ref[0] + isum(g_p * ta * qrep)
     g_zre = g_ta * (sig + zre * sig * (1.0 - sig))
 
     gt_acc = gt_acc + jax.lax.dot_general(
@@ -419,17 +466,25 @@ def _pallas_backward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
     L = rl_ij.shape[-1]
     H = num_heads
     mult = W_rs.shape[1] // D
+    TI = _pick_i_tile(M)
+    NI = M // TI
 
     kern = functools.partial(
-        _bwd_kernel, M=M, D=D, H=H, lmax=lmax, mult=mult, sep_dir=sep_dir,
-        sep_tensor=sep_tensor, pair_dtype=pair_dtype)
+        _bwd_kernel, TI=TI, M=M, D=D, H=H, lmax=lmax, mult=mult,
+        sep_dir=sep_dir, sep_tensor=sep_tensor, pair_dtype=pair_dtype)
 
-    def spec(shape):
-        return pl.BlockSpec((1,) + shape, lambda g: (g,) + (0,) * len(shape),
+    def ispec(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda g, i: (g, i) + (0,) * (len(shape) - 1),
+                            memory_space=pltpu.VMEM)
+
+    def gspec(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda g, i: (g,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     def wspec(shape):
-        return pl.BlockSpec(shape, lambda g: (0,) * len(shape),
+        return pl.BlockSpec(shape, lambda g, i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     f32 = jnp.float32
@@ -450,21 +505,21 @@ def _pallas_backward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
     )
     outs = pl.pallas_call(
         kern,
-        grid=(G,),
+        grid=(G, NI),
         in_specs=[
-            spec((M * M, D)), spec((M, D)), spec((M, D)),
-            spec((M, mult * D)), spec((M, mult * D)),
-            spec((M * M, L)), spec((M, L, D)), spec((M * M, 1)),
-            spec((M * M, 1)),
+            ispec((TI * M, D)), ispec((TI, D)), gspec((M, D)),
+            gspec((M, mult * D)), gspec((M, mult * D)),
+            ispec((TI * M, L)), gspec((M, L, D)), ispec((TI * M, 1)),
+            ispec((TI * M, 1)),
             wspec((D, D)), wspec((1, D)), wspec((D, mult * D)),
             wspec((1, mult * D)),
-            spec((M * M, H)), spec((M, D)), spec((M, L, D)),
+            ispec((TI * M, H)), ispec((TI, D)), ispec((TI, L, D)),
         ],
         out_specs=(
-            spec((M * M, D)), spec((M, D)), spec((M, D)),
-            spec((M, mult * D)), spec((M, mult * D)),
-            spec((M * M, L)), spec((M, L, D)), spec((M * M, 1)),
-            spec((M * M, 1)),
+            ispec((TI * M, D)), ispec((TI, D)), gspec((M, D)),
+            gspec((M, mult * D)), gspec((M, mult * D)),
+            ispec((TI * M, L)), gspec((M, L, D)), ispec((TI * M, 1)),
+            ispec((TI * M, 1)),
             wspec((D, D)), wspec((1, D)), wspec((D, mult * D)),
             wspec((1, mult * D)),
         ),
