@@ -213,13 +213,14 @@ def main():
     # fused Pallas message kernel is the default headline path
     # (1.19M vs 1.08M edges/s unfused at batch-256 QM9, v5e-1)
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    fused_htr = os.environ.get("BENCH_FUSED_HTR", "0") == "1"
     # remat: with the fused kernel the big pair tensors never become
     # residuals (the custom_vjp saves only node tensors + softmax), so
     # block remat buys nothing and costs a forward recompute
     remat = os.environ.get("BENCH_REMAT", "0" if fused else "1") == "1"
     cfg = GotenNetConfig(
         n_atom_basis=256, n_interactions=4, lmax=2, n_rbf=64, num_heads=8,
-        attn_dropout=0.0, fused=fused, remat=remat,
+        attn_dropout=0.0, fused=fused, fused_htr=fused_htr, remat=remat,
         pair_dtype=jnp.bfloat16 if pair_dtype == "bf16" else jnp.float32)
     task = QM9Task("U0", dataset_meta={"mean": 0.0, "std": 1.0})
     model = GotenModel(cfg, task.build_head(), layout=layout)

@@ -466,7 +466,9 @@ def _pallas_backward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
     L = rl_ij.shape[-1]
     H = num_heads
     mult = W_rs.shape[1] // D
-    TI = _pick_i_tile(M)
+    # the VJP's working set per slab is ~2x the forward's (block
+    # recomputes + gradient accumulators), so halve its pair budget
+    TI = _pick_i_tile(M, max_pairs=2048)
     NI = M // TI
 
     kern = functools.partial(

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gotennet_tpu.ops.pallas.fused_gata import _pick_i_tile
 from gotennet_tpu.ops.spherical import degree_slices
 
 __all__ = ["make_fused_htr"]
@@ -73,26 +74,27 @@ def _slices(lmax, sep_htr):
 
 
 def _kernel(t_ref, eq_ref, ek_ref, rl_ref, wg_ref, bg_ref, out_ref, *,
-            M, D, lmax, sep_htr, rej, gate, pair_dtype):
+            TI, M, D, lmax, sep_htr, rej, gate, pair_dtype):
     f32 = jnp.float32
     pd = pair_dtype
-    t2 = t_ref[0]                           # [MM, D]
+    TB = TI * M
+    t2 = t_ref[0]                           # [TB, D]
     z = jnp.dot(t2.astype(pd), wg_ref[...].astype(pd),
                 preferred_element_type=f32) + bg_ref[...]
     gt = z * jax.lax.logistic(z)            # silu
 
-    eq = eq_ref[0]                          # [M, L, C]
-    ek = ek_ref[0]
-    rl = rl_ref[0]                          # [MM, L]
+    eq = eq_ref[0]                          # [TI, L, C]
+    ek = ek_ref[0]                          # [M, L, C]
+    rl = rl_ref[0]                          # [TB, L]
 
-    w = jnp.zeros((M * M, D), f32)
+    w = jnp.zeros((TB, D), f32)
     for lo, hi in _slices(lmax, sep_htr):
-        S = jnp.zeros((M * M, D), pd)
-        pq = jnp.zeros((M * M, D), pd)
-        pk = jnp.zeros((M * M, D), pd)
+        S = jnp.zeros((TB, D), pd)
+        pq = jnp.zeros((TB, D), pd)
+        pk = jnp.zeros((TB, D), pd)
         for m in range(lo, hi):
             eqm = jnp.repeat(eq[:, m, :].astype(pd), M, axis=0)  # i-major
-            ekm = jnp.tile(ek[:, m, :].astype(pd), (M, 1))       # j-minor
+            ekm = jnp.tile(ek[:, m, :].astype(pd), (TI, 1))      # j-minor
             S = S + eqm * ekm
             if rej:
                 rlm = rl[:, m:m + 1].astype(pd)
@@ -109,23 +111,28 @@ def _kernel(t_ref, eq_ref, ek_ref, rl_ref, wg_ref, bg_ref, out_ref, *,
 
 def _bwd_kernel(t_ref, eq_ref, ek_ref, rl_ref, wg_ref, bg_ref, g_ref,
                 gt_out_ref, geq_ref, gek_ref, grl_ref, gwg_ref, gbg_ref,
-                *, M, D, lmax, sep_htr, rej, gate, pair_dtype):
+                *, TI, M, D, lmax, sep_htr, rej, gate, pair_dtype):
     """Analytic VJP of _kernel; weight grads accumulate across the
-    sequential grid (zero-initialised at g==0)."""
+    sequential grid, g_ek across each graph's i-tiles."""
     f32 = jnp.float32
     pd = pair_dtype
-    first = pl.program_id(0) == 0
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    TB = TI * M
 
     @pl.when(first)
     def _init():
         gwg_ref[...] = jnp.zeros(gwg_ref.shape, f32)
         gbg_ref[...] = jnp.zeros(gbg_ref.shape, f32)
 
+    @pl.when(pl.program_id(1) == 0)
+    def _init_j():
+        gek_ref[...] = jnp.zeros(gek_ref.shape, f32)
+
     t2 = t_ref[0]
-    eq = eq_ref[0]
-    ek = ek_ref[0]
+    eq = eq_ref[0]                          # [TI, L, C]
+    ek = ek_ref[0]                          # [M, L, C]
     rl = rl_ref[0]
-    g = g_ref[0]                            # [MM, D] cotangent of out
+    g = g_ref[0]                            # [TB, D] cotangent of out
 
     # recompute forward pieces
     z = jnp.dot(t2.astype(pd), wg_ref[...].astype(pd),
@@ -133,15 +140,15 @@ def _bwd_kernel(t_ref, eq_ref, ek_ref, rl_ref, wg_ref, bg_ref, g_ref,
     sig = jax.lax.logistic(z)
     gt = z * sig
 
-    w = jnp.zeros((M * M, D), f32)
+    w = jnp.zeros((TB, D), f32)
     saved = []                              # (pq, pk, a) per slice
     for lo, hi in _slices(lmax, sep_htr):
-        S = jnp.zeros((M * M, D), pd)
-        pq = jnp.zeros((M * M, D), pd)
-        pk = jnp.zeros((M * M, D), pd)
+        S = jnp.zeros((TB, D), pd)
+        pq = jnp.zeros((TB, D), pd)
+        pk = jnp.zeros((TB, D), pd)
         for m in range(lo, hi):
             eqm = jnp.repeat(eq[:, m, :].astype(pd), M, axis=0)
-            ekm = jnp.tile(ek[:, m, :].astype(pd), (M, 1))
+            ekm = jnp.tile(ek[:, m, :].astype(pd), (TI, 1))
             S = S + eqm * ekm
             if rej:
                 rlm = rl[:, m:m + 1].astype(pd)
@@ -187,7 +194,7 @@ def _bwd_kernel(t_ref, eq_ref, ek_ref, rl_ref, wg_ref, bg_ref, g_ref,
             g_pk_p = g_pk.astype(pd)
         for m in range(lo, hi):
             eqm = jnp.repeat(eq[:, m, :].astype(pd), M, axis=0)
-            ekm = jnp.tile(ek[:, m, :].astype(pd), (M, 1))
+            ekm = jnp.tile(ek[:, m, :].astype(pd), (TI, 1))
             # g_eq: sum over j (pairs are i-major); g_ek: sum over i
             ge = g_w_p * ekm
             gk = g_w_p * eqm
@@ -201,11 +208,11 @@ def _bwd_kernel(t_ref, eq_ref, ek_ref, rl_ref, wg_ref, bg_ref, g_ref,
                             axis=1, keepdims=True)
                     + 2.0 * rl[:, m:m + 1] * g_r2)
             else:
-                grl_ref[0, :, m:m + 1] = jnp.zeros((M * M, 1), f32)
+                grl_ref[0, :, m:m + 1] = jnp.zeros((TB, 1), f32)
             geq_ref[0, :, m, :] = jnp.sum(
-                ge.astype(f32).reshape(M, M, D), axis=1)
-            gek_ref[0, :, m, :] = jnp.sum(
-                gk.astype(f32).reshape(M, M, D), axis=0)
+                ge.astype(f32).reshape(TI, M, D), axis=1)
+            gek_ref[0, :, m, :] = gek_ref[0, :, m, :] + jnp.sum(
+                gk.astype(f32).reshape(TI, M, D), axis=0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -223,24 +230,32 @@ def make_fused_htr(lmax: int, sep_htr: bool, rej: bool, gate: str,
     def fwd_call(t_ij, eq, ek, rl_ij, W_g, b_g):
         G, M, _, D = t_ij.shape
         L = rl_ij.shape[-1]
+        TI = _pick_i_tile(M)
         kern = functools.partial(
-            _kernel, M=M, D=D, lmax=lmax, sep_htr=sep_htr, rej=rej,
-            gate=gate, pair_dtype=pair_dtype)
+            _kernel, TI=TI, M=M, D=D, lmax=lmax, sep_htr=sep_htr,
+            rej=rej, gate=gate, pair_dtype=pair_dtype)
 
-        def spec(shape):
+        def ispec(shape):
+            return pl.BlockSpec(
+                (1,) + shape,
+                lambda g, i: (g, i) + (0,) * (len(shape) - 1),
+                memory_space=pltpu.VMEM)
+
+        def gspec(shape):
             return pl.BlockSpec((1,) + shape,
-                                lambda g: (g,) + (0,) * len(shape),
+                                lambda g, i: (g,) + (0,) * len(shape),
                                 memory_space=pltpu.VMEM)
 
         def wspec(shape):
-            return pl.BlockSpec(shape, lambda g: (0,) * len(shape),
+            return pl.BlockSpec(shape, lambda g, i: (0,) * len(shape),
                                 memory_space=pltpu.VMEM)
 
         out = pl.pallas_call(
-            kern, grid=(G,),
-            in_specs=[spec((M * M, D)), spec((M, L, D)), spec((M, L, D)),
-                      spec((M * M, L)), wspec((D, D)), wspec((1, D))],
-            out_specs=spec((M * M, D)),
+            kern, grid=(G, M // TI),
+            in_specs=[ispec((TI * M, D)), ispec((TI, L, D)),
+                      gspec((M, L, D)), ispec((TI * M, L)),
+                      wspec((D, D)), wspec((1, D))],
+            out_specs=ispec((TI * M, D)),
             out_shape=jax.ShapeDtypeStruct((G, M * M, D), jnp.float32),
             interpret=interpret,
         )(t_ij.reshape(G, M * M, D), eq, ek, rl_ij.reshape(G, M * M, L),
@@ -250,27 +265,36 @@ def make_fused_htr(lmax: int, sep_htr: bool, rej: bool, gate: str,
     def bwd_call(t_ij, eq, ek, rl_ij, W_g, b_g, g_out):
         G, M, _, D = t_ij.shape
         L = rl_ij.shape[-1]
+        TI = _pick_i_tile(M, max_pairs=2048)
         kern = functools.partial(
-            _bwd_kernel, M=M, D=D, lmax=lmax, sep_htr=sep_htr, rej=rej,
-            gate=gate, pair_dtype=pair_dtype)
+            _bwd_kernel, TI=TI, M=M, D=D, lmax=lmax, sep_htr=sep_htr,
+            rej=rej, gate=gate, pair_dtype=pair_dtype)
 
-        def spec(shape):
+        def ispec(shape):
+            return pl.BlockSpec(
+                (1,) + shape,
+                lambda g, i: (g, i) + (0,) * (len(shape) - 1),
+                memory_space=pltpu.VMEM)
+
+        def gspec(shape):
             return pl.BlockSpec((1,) + shape,
-                                lambda g: (g,) + (0,) * len(shape),
+                                lambda g, i: (g,) + (0,) * len(shape),
                                 memory_space=pltpu.VMEM)
 
         def wspec(shape):
-            return pl.BlockSpec(shape, lambda g: (0,) * len(shape),
+            return pl.BlockSpec(shape, lambda g, i: (0,) * len(shape),
                                 memory_space=pltpu.VMEM)
 
         f32 = jnp.float32
         outs = pl.pallas_call(
-            kern, grid=(G,),
-            in_specs=[spec((M * M, D)), spec((M, L, D)), spec((M, L, D)),
-                      spec((M * M, L)), wspec((D, D)), wspec((1, D)),
-                      spec((M * M, D))],
-            out_specs=(spec((M * M, D)), spec((M, L, D)), spec((M, L, D)),
-                       spec((M * M, L)), wspec((D, D)), wspec((1, D))),
+            kern, grid=(G, M // TI),
+            in_specs=[ispec((TI * M, D)), ispec((TI, L, D)),
+                      gspec((M, L, D)), ispec((TI * M, L)),
+                      wspec((D, D)), wspec((1, D)),
+                      ispec((TI * M, D))],
+            out_specs=(ispec((TI * M, D)), ispec((TI, L, D)),
+                       gspec((M, L, D)), ispec((TI * M, L)),
+                       wspec((D, D)), wspec((1, D))),
             out_shape=(jax.ShapeDtypeStruct((G, M * M, D), f32),
                        jax.ShapeDtypeStruct((G, M, L, D), f32),
                        jax.ShapeDtypeStruct((G, M, L, D), f32),

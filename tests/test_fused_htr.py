@@ -52,14 +52,16 @@ def _inputs(seed, G, M, D, lmax):
             rand(G, M, M, L), rand(D, D), rand(D))
 
 
-@pytest.mark.parametrize("variant", [
-    dict(sep_htr=True, rej=True, gate=""),       # flagship
-    dict(sep_htr=False, rej=True, gate="gated"),
-    dict(sep_htr=True, rej=False, gate="gatedt"),
-    dict(sep_htr=False, rej=False, gate="act"),
+@pytest.mark.parametrize("variant,M", [
+    (dict(sep_htr=True, rej=True, gate=""), 8),       # flagship
+    (dict(sep_htr=False, rej=True, gate="gated"), 8),
+    (dict(sep_htr=True, rej=False, gate="gatedt"), 8),
+    (dict(sep_htr=False, rej=False, gate="act"), 8),
+    # i-tiled grid: fwd TI=36, bwd TI=24
+    (dict(sep_htr=True, rej=True, gate=""), 72),
 ])
-def test_fused_htr_matches_oracle(variant):
-    G, M, D, lmax = 2, 8, 32, 2
+def test_fused_htr_matches_oracle(variant, M):
+    G, D, lmax = 2, 32, 2
     inputs = _inputs(0, G, M, D, lmax)
     fused = make_fused_htr(lmax, variant["sep_htr"], variant["rej"],
                            variant["gate"], interpret=True)
