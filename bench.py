@@ -239,11 +239,12 @@ def main():
     real_edges = int(np.asarray(eb.edge_mask).sum())
     real_nodes = int(np.asarray(eb.node_mask).sum())
     if layout == "dense":
-        # pad M to a power of two at MD22 scale so the fused kernel's
-        # i-tile divides evenly (128 -> TI=32)
-        ma = 128 if (dataset == "md22" and fused) else None
+        # BENCH_MAX_ATOMS overrides the dense M padding (the fused
+        # kernel i-tiles any M with a suitable divisor; M=120 -> TI=30)
+        ma = os.environ.get("BENCH_MAX_ATOMS")
         chunks = list(DenseLoader(ds, batch_size=chunk,
-                                  max_atoms=ma))[:n_chunks]
+                                  max_atoms=int(ma) if ma else None)
+                      )[:n_chunks]
         example = chunks[0]
         padded_pairs = int(n_chunks * example.num_graphs
                            * example.max_atoms ** 2)

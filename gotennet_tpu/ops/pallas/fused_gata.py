@@ -263,9 +263,11 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
     g_v, g_X) map to per-graph blocks and are zero-initialised at each
     graph's first i-tile — grid steps run sequentially on TPU, so both
     accumulate in place (the standard Pallas reduction pattern).
-    All elementwise gradient math is f32; only the large matmuls take
-    pair_dtype inputs (f32 accumulation), mirroring the forward and the
-    XLA path's cast placement.
+    Pair-sized elementwise math runs in pair_dtype — matching the
+    forward and what jax.grad of the XLA path (whose forward ops are
+    pair_dtype) would produce — with every reduction/accumulation in
+    f32; the attention-softmax backward and the gamma_re chain stay
+    f32 (one block's worth, precision-sensitive).
     """
     f32 = jnp.float32
     pd = pair_dtype
@@ -278,15 +280,18 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
     env = env_ref[0]                        # [TB, 1]
     valid = env >= 0.0
     envp = jnp.maximum(env, 0.0)
+    envp_p = envp.astype(pd)
     scale = scale_ref[0]                    # [TB, 1]
     sm = sm_ref[0]                          # [TB, H] pre-scale softmax
     attn = sm * scale
     attn_p = attn.astype(pd)
-    xg = xg_ref[0]                          # [M, mult*D]
-    v = v_ref[0]
+    xg = xg_ref[0].astype(pd)               # [M, mult*D]
+    v = v_ref[0].astype(pd)
     rl = rl_ref[0]                          # [TB, L]
+    rl_p = rl.astype(pd)
     gdh = gdh_ref[0]                        # [TI, D]
     gdx = gdx_ref[0]                        # [TI, L, D]
+    gdx_p = gdx.astype(pd)
     e_per = (mult * D) // H
 
     @pl.when(first)
@@ -312,12 +317,12 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
         return jnp.tile(a, (TI, 1))
 
     def isum(a):
-        """sum_i of [TB, D] -> [M(j), D] (partial over this i-tile)."""
-        return jnp.sum(a.reshape(TI, M, -1), axis=0)
+        """f32 sum_i of [TB, D] -> [M(j), D] (partial over this tile)."""
+        return jnp.sum(a.reshape(TI, M, -1).astype(f32), axis=0)
 
     def jsum(a):
-        """sum_j of [TB, D] -> [TI(i), D]."""
-        return jnp.sum(a.reshape(TI, M, -1), axis=1)
+        """f32 sum_j of [TB, D] -> [TI(i), D]."""
+        return jnp.sum(a.reshape(TI, M, -1).astype(f32), axis=1)
 
     g_attn = jnp.zeros((TB, H), f32)
     g_env = jnp.zeros((TB, 1), f32)
@@ -326,59 +331,61 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
     def block_bwd(co, g_o, degs_rl, degs_X, g_attn, g_env, gt_acc):
         """Backprop one distinct channel block [co, co+D).
 
-        g_o: [TB, D] cotangent of o for this block (f32).
+        g_o: [TB, D] cotangent of o for this block (pair dtype).
         degs_rl: m-indices whose dir-aggregation used this block
             (g_rl written here, needs o recompute).
         degs_X: m-indices whose tensor-aggregation used this block
             (g_X written here, needs o recompute).
         """
         wrs_c = wrs_ref[:, co:co + D].astype(pd)
-        tf = jnp.dot(t2p, wrs_c,
-                     preferred_element_type=f32) + brs_ref[:, co:co + D]
+        tf = (jnp.dot(t2p, wrs_c, preferred_element_type=f32)
+              + brs_ref[:, co:co + D]).astype(pd)
         ch = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) + co
         hsel = (ch // e_per == jax.lax.broadcasted_iota(
             jnp.int32, (H, D), 0)).astype(pd)
-        attn_c = jnp.dot(attn_p, hsel, preferred_element_type=f32)
+        attn_c = jnp.dot(attn_p, hsel,
+                         preferred_element_type=f32).astype(pd)
         xg_j = tile_j(xg[:, co:co + D])
         v_j = tile_j(v[:, co:co + D])
 
         if degs_rl or degs_X:
-            o_c = tf * xg_j * envp + attn_c * v_j
+            o_c = tf * xg_j * envp_p + attn_c * v_j
             for m in degs_rl:
-                gdx_m = rep_i(gdx[:, m, :])       # [TB, D]
-                grl_ref[0, :, m:m + 1] = jnp.sum(gdx_m * o_c, axis=1,
-                                                 keepdims=True)
+                gdx_m = rep_i(gdx_p[:, m, :])     # [TB, D]
+                grl_ref[0, :, m:m + 1] = jnp.sum(
+                    (gdx_m * o_c).astype(f32), axis=1, keepdims=True)
             for m in degs_X:
-                gdx_m = rep_i(gdx[:, m, :])
+                gdx_m = rep_i(gdx_p[:, m, :])
                 gx_ref[0, :, m, :] = gx_ref[0, :, m, :] + isum(o_c * gdx_m)
 
-        g_tf = g_o * xg_j * envp                  # [TB, D]
+        g_tf = g_o * xg_j * envp_p                # [TB, D] pair dtype
         gxg_ref[0, :, co:co + D] = (gxg_ref[0, :, co:co + D]
-                                    + isum(g_o * tf * envp))
+                                    + isum(g_o * tf * envp_p))
         gv_ref[0, :, co:co + D] = (gv_ref[0, :, co:co + D]
                                    + isum(attn_c * g_o))
-        g_env = g_env + jnp.sum(g_o * tf * xg_j, axis=1, keepdims=True)
+        g_env = g_env + jnp.sum((g_o * tf * xg_j).astype(f32),
+                                axis=1, keepdims=True)
         g_attn = g_attn + jax.lax.dot_general(
-            (g_o * v_j).astype(pd), hsel,
+            g_o * v_j, hsel,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32)           # [MM, H]
+            preferred_element_type=f32)           # [TB, H]
         # g_t += g_tf @ W_rs_c^T (contract the out axis, no transpose)
         gt_acc = gt_acc + jax.lax.dot_general(
-            g_tf.astype(pd), wrs_c,
+            g_tf, wrs_c,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=f32)
         # weight grads accumulate across graphs
         gw = jax.lax.dot_general(
-            t2p, g_tf.astype(pd),
+            t2p, g_tf,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=f32)           # [D, D]
         gwrs_ref[:, co:co + D] = gwrs_ref[:, co:co + D] + gw
         gbrs_ref[:, co:co + D] = gbrs_ref[:, co:co + D] + jnp.sum(
-            g_tf, axis=0, keepdims=True)
+            g_tf.astype(f32), axis=0, keepdims=True)
         return g_attn, g_env, gt_acc
 
     # ---- scalar block ------------------------------------------------
-    g_attn, g_env, gt_acc = block_bwd(0, rep_i(gdh), (), (),
+    g_attn, g_env, gt_acc = block_bwd(0, rep_i(gdh.astype(pd)), (), (),
                                       g_attn, g_env, gt_acc)
 
     # ---- dir blocks --------------------------------------------------
@@ -386,13 +393,13 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
     off = D
     if sep_dir:
         for l, (lo, hi) in enumerate(slices):
-            g_o = sum(rl[:, m:m + 1] * rep_i(gdx[:, m, :])
+            g_o = sum(rl_p[:, m:m + 1] * rep_i(gdx_p[:, m, :])
                       for m in range(lo, hi))
             g_attn, g_env, gt_acc = block_bwd(
                 off + l * D, g_o, tuple(range(lo, hi)), (),
                 g_attn, g_env, gt_acc)
     else:
-        g_o = sum(rl[:, m:m + 1] * rep_i(gdx[:, m, :])
+        g_o = sum(rl_p[:, m:m + 1] * rep_i(gdx_p[:, m, :])
                   for lo, hi in slices for m in range(lo, hi))
         g_attn, g_env, gt_acc = block_bwd(
             off, g_o, tuple(range(slices[0][0], slices[-1][1])), (),
@@ -402,13 +409,15 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
     # ---- tensor blocks -----------------------------------------------
     if sep_tensor:
         for l, (lo, hi) in enumerate(slices):
-            g_o = sum(tile_j(x_ref[0, :, m, :]) * rep_i(gdx[:, m, :])
+            g_o = sum(tile_j(x_ref[0, :, m, :].astype(pd))
+                      * rep_i(gdx_p[:, m, :])
                       for m in range(lo, hi))
             g_attn, g_env, gt_acc = block_bwd(
                 off + l * D, g_o, (), tuple(range(lo, hi)),
                 g_attn, g_env, gt_acc)
     else:
-        g_o = sum(tile_j(x_ref[0, :, m, :]) * rep_i(gdx[:, m, :])
+        g_o = sum(tile_j(x_ref[0, :, m, :].astype(pd))
+                  * rep_i(gdx_p[:, m, :])
                   for lo, hi in slices for m in range(lo, hi))
         g_attn, g_env, gt_acc = block_bwd(
             off, g_o, (), tuple(range(slices[0][0], slices[-1][1])),
@@ -434,11 +443,13 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
                   preferred_element_type=f32) + bre_ref[...]
     sig = jax.lax.logistic(zre)
     ta = zre * sig
-    qrep = rep_i(q_ref[0])
-    krep = tile_j(k_ref[0])
-    g_ta = g_p * qrep * krep
-    gq_ref[0] = jsum(g_p * ta * krep)
-    gk_ref[0] = gk_ref[0] + isum(g_p * ta * qrep)
+    qrep = rep_i(q_ref[0].astype(pd))
+    krep = tile_j(k_ref[0].astype(pd))
+    g_p_p = g_p.astype(pd)
+    ta_p = ta.astype(pd)
+    g_ta = (g_p_p * qrep * krep).astype(f32)
+    gq_ref[0] = jsum(g_p_p * ta_p * krep)
+    gk_ref[0] = gk_ref[0] + isum(g_p_p * ta_p * qrep)
     g_zre = g_ta * (sig + zre * sig * (1.0 - sig))
 
     gt_acc = gt_acc + jax.lax.dot_general(
