@@ -144,7 +144,8 @@ class GotenNetConfig:
     # Dense layout only: run message+aggregate as one fused Pallas
     # kernel (ops/pallas/fused_gata.py) with an analytic Pallas VJP.
     # Keeps the [G,M,M,mult*D] pair tensor in VMEM instead of HBM.
-    # Requires swish/silu activation, aggr='add', attn_dropout=0.
+    # Requires swish/silu activation and aggr='add'; attention dropout
+    # folds into the kernel's per-head scale input.
     fused: bool = False
     # Also run the HTR edge update as a Pallas kernel
     # (ops/pallas/fused_htr.py).  Validated but measured ~5% slower
@@ -173,9 +174,6 @@ class GotenNetConfig:
                     f"got activation={self.activation!r}")
             if self.aggr != "add":
                 raise ValueError("fused=True supports aggr='add' only")
-            if self.attn_dropout > 0.0:
-                raise ValueError(
-                    "fused=True does not implement attention dropout")
 
     @property
     def sh_dim(self) -> int:

@@ -191,6 +191,14 @@ class GATADense(fnn.Module):
                 scale = jnp.sqrt(n_edges) / math.sqrt(D)
             else:
                 scale = jnp.full_like(dist, 1.0 / math.sqrt(D))
+            if cfg.attn_dropout > 0.0 and not self.deterministic:
+                # attention dropout folds into the per-head post-softmax
+                # scale (same placement as the unfused path's Dropout)
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - cfg.attn_dropout,
+                    (G, M, M, H))
+                scale = (scale[..., None] * keep.astype(scale.dtype)
+                         / (1.0 - cfg.attn_dropout))
             fused_fn = make_fused_gata(
                 cfg.lmax, H, cfg.sep_dir, cfg.sep_tensor,
                 interpret=jax.default_backend() != "tpu",

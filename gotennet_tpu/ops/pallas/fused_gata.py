@@ -173,7 +173,10 @@ def _pallas_forward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
             invalid pairs (sign encodes the mask so one tensor carries
             both).
         scale: [G, M, M] attention scale (1/sqrt(D) or
-            sqrt(n_edges)/sqrt(D); zero rows are fine).
+            sqrt(n_edges)/sqrt(D); zero rows are fine), or
+            [G, M, M, H] per-head — attention dropout folds its
+            mask/(1-p) in here (post-softmax multiplier, exactly the
+            reference's Dropout placement).
         W_re/b_re/W_rs/b_rs: filter projection parameters.
 
     Returns:
@@ -185,6 +188,7 @@ def _pallas_forward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
     mult = W_rs.shape[1] // D
     TI = _pick_i_tile(M)
     NI = M // TI
+    SH = H if scale.ndim == 4 else 1        # per-head scale (dropout)
 
     kern = functools.partial(
         _kernel, TI=TI, M=M, D=D, H=H, lmax=lmax, mult=mult,
@@ -218,7 +222,7 @@ def _pallas_forward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
             ispec((TI * M, D)), ispec((TI, D)), gspec((M, D)),
             gspec((M, mult * D)), gspec((M, mult * D)),
             ispec((TI * M, L)), gspec((M, L, D)), ispec((TI * M, 1)),
-            ispec((TI * M, 1)),
+            ispec((TI * M, SH)),
             wspec((D, D)), wspec((1, D)), wspec((D, mult * D)),
             wspec((1, mult * D)),
         ],
@@ -227,7 +231,7 @@ def _pallas_forward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
         interpret=interpret,
     )(t_ij.reshape(G, M * M, D), q, k, x_g, v,
       rl_ij.reshape(G, M * M, L), X,
-      env_signed.reshape(G, M * M, 1), scale.reshape(G, M * M, 1),
+      env_signed.reshape(G, M * M, 1), scale.reshape(G, M * M, SH),
       W_re, b_re.reshape(1, D), W_rs, b_rs.reshape(1, mult * D))
     return d_h, dX, attn.reshape(G, M, M, H)
 
@@ -246,7 +250,7 @@ def fused_gata_message(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
         t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale, W_re, b_re,
         W_rs, b_rs, lmax=lmax, num_heads=num_heads, sep_dir=sep_dir,
         sep_tensor=sep_tensor, interpret=interpret, pair_dtype=pair_dtype)
-    return d_h, dX, sm * scale[..., None]
+    return d_h, dX, sm * (scale if scale.ndim == 4 else scale[..., None])
 
 
 def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
@@ -255,7 +259,7 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
                 gt_ref, gq_ref, gk_ref, gxg_ref, gv_ref, grl_ref, gx_ref,
                 genv_ref, gscale_ref, gwre_ref, gbre_ref, gwrs_ref,
                 gbrs_ref, *, TI, M, D, H, lmax, mult, sep_dir, sep_tensor,
-                pair_dtype):
+                pair_dtype, scale_heads=False):
     """Analytic VJP of _kernel, one grid step per (graph, i-tile).
 
     Weight-gradient outputs map every grid step to block 0 and are
@@ -424,7 +428,10 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
             g_attn, g_env, gt_acc)
 
     # ---- attention backward -----------------------------------------
-    gscale_ref[0] = jnp.sum(sm * g_attn, axis=1, keepdims=True)
+    if scale_heads:                         # per-head scale (dropout)
+        gscale_ref[0] = sm * g_attn
+    else:
+        gscale_ref[0] = jnp.sum(sm * g_attn, axis=1, keepdims=True)
     g_sm3 = (g_attn * scale).reshape(TI, M, H)
     sm3 = sm.reshape(TI, M, H)
     s = jnp.sum(sm3 * g_sm3, axis=1, keepdims=True)   # [TI, 1, H]
@@ -481,10 +488,12 @@ def _pallas_backward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
     # recomputes + gradient accumulators), so halve its pair budget
     TI = _pick_i_tile(M, max_pairs=2048)
     NI = M // TI
+    SH = H if scale.ndim == 4 else 1
 
     kern = functools.partial(
         _bwd_kernel, TI=TI, M=M, D=D, H=H, lmax=lmax, mult=mult,
-        sep_dir=sep_dir, sep_tensor=sep_tensor, pair_dtype=pair_dtype)
+        sep_dir=sep_dir, sep_tensor=sep_tensor, pair_dtype=pair_dtype,
+        scale_heads=(SH == H))
 
     def ispec(shape):
         return pl.BlockSpec((1,) + shape,
@@ -510,7 +519,7 @@ def _pallas_backward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
         jax.ShapeDtypeStruct((G, M * M, L), f32),       # g_rl
         jax.ShapeDtypeStruct((G, M, L, D), f32),        # g_X
         jax.ShapeDtypeStruct((G, M * M, 1), f32),       # g_env
-        jax.ShapeDtypeStruct((G, M * M, 1), f32),       # g_scale
+        jax.ShapeDtypeStruct((G, M * M, SH), f32),      # g_scale
         jax.ShapeDtypeStruct((D, D), f32),              # g_Wre
         jax.ShapeDtypeStruct((1, D), f32),              # g_bre
         jax.ShapeDtypeStruct((D, mult * D), f32),       # g_Wrs
@@ -523,7 +532,7 @@ def _pallas_backward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
             ispec((TI * M, D)), ispec((TI, D)), gspec((M, D)),
             gspec((M, mult * D)), gspec((M, mult * D)),
             ispec((TI * M, L)), gspec((M, L, D)), ispec((TI * M, 1)),
-            ispec((TI * M, 1)),
+            ispec((TI * M, SH)),
             wspec((D, D)), wspec((1, D)), wspec((D, mult * D)),
             wspec((1, mult * D)),
             ispec((TI * M, H)), ispec((TI, D)), ispec((TI, L, D)),
@@ -532,7 +541,7 @@ def _pallas_backward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
             ispec((TI * M, D)), ispec((TI, D)), gspec((M, D)),
             gspec((M, mult * D)), gspec((M, mult * D)),
             ispec((TI * M, L)), gspec((M, L, D)), ispec((TI * M, 1)),
-            ispec((TI * M, 1)),
+            ispec((TI * M, SH)),
             wspec((D, D)), wspec((1, D)), wspec((D, mult * D)),
             wspec((1, mult * D)),
         ),
@@ -540,14 +549,15 @@ def _pallas_backward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
         interpret=interpret,
     )(t_ij.reshape(G, M * M, D), q, k, x_g, v,
       rl_ij.reshape(G, M * M, L), X,
-      env_signed.reshape(G, M * M, 1), scale.reshape(G, M * M, 1),
+      env_signed.reshape(G, M * M, 1), scale.reshape(G, M * M, SH),
       W_re, b_re.reshape(1, D), W_rs, b_rs.reshape(1, mult * D),
       sm.reshape(G, M * M, H), g_dh, g_dX)
     (g_t, g_q, g_k, g_xg, g_v, g_rl, g_X, g_env, g_scale,
      g_Wre, g_bre, g_Wrs, g_brs) = outs
     return (g_t.reshape(G, M, M, D), g_q, g_k, g_xg, g_v,
             g_rl.reshape(G, M, M, L), g_X,
-            g_env.reshape(G, M, M), g_scale.reshape(G, M, M),
+            g_env.reshape(G, M, M),
+            g_scale.reshape((G, M, M, H) if SH == H else (G, M, M)),
             g_Wre, g_bre.reshape(D), g_Wrs, g_brs.reshape(mult * D))
 
 

@@ -118,6 +118,35 @@ def test_fused_dense_matches_unfused(cfg_kw):
             err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+def test_fused_attention_dropout():
+    """Fused path supports attention dropout (mask folded into the
+    kernel's per-head scale): stochastic != deterministic, seeds
+    differ, and outputs stay finite."""
+    import dataclasses
+
+    cfg = GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2,
+                         n_rbf=8, num_heads=4, attn_dropout=0.3,
+                         fused=True)
+    rng = np.random.default_rng(0)
+    graphs = _graphs(rng, sizes=(5, 7))
+    db = collate_dense(graphs, 2, 8)
+    m = GotenNetDense(cfg)
+    params = m.init(jax.random.PRNGKey(0), db)
+    det = m.apply(params, db, deterministic=True)
+    s1 = m.apply(params, db, deterministic=False,
+                 rngs={"dropout": jax.random.PRNGKey(1)})
+    s2 = m.apply(params, db, deterministic=False,
+                 rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(det[0]), np.asarray(s1[0]))
+    assert not np.allclose(np.asarray(s1[0]), np.asarray(s2[0]))
+    assert np.isfinite(np.asarray(s1[0])).all()
+    # deterministic mode ignores dropout entirely: matches unfused
+    unfused = GotenNetDense(dataclasses.replace(cfg, fused=False))
+    h_u, X_u = unfused.apply(params, db, deterministic=True)
+    np.testing.assert_allclose(np.asarray(det[0]), np.asarray(h_u),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_flatten_nodes_view():
     rng = np.random.default_rng(1)
     graphs = _graphs(rng, sizes=(3, 4))

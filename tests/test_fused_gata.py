@@ -123,7 +123,7 @@ def _jnp_oracle(t, q, k, xg, v, rl, X, env_signed, scale, W_re, b_re,
     mx = jax.lax.stop_gradient(logits.max(axis=2, keepdims=True))
     ex = jnp.exp(logits - mx) * valid[..., None]
     attn = ex / (ex.sum(axis=2, keepdims=True) + 1e-16)
-    attn = attn * scale[..., None]
+    attn = attn * (scale if scale.ndim == 4 else scale[..., None])
     e_per = (mult * D) // H
     attn_full = jnp.repeat(attn, e_per, axis=-1)
     o = (tf * xg[:, None, :, :] * env[..., None]
@@ -186,6 +186,49 @@ def test_fused_backward_matches_autodiff(sep, M):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4,
             err_msg=f"grad mismatch for {name}")
+
+
+def test_fused_backward_per_head_scale():
+    """Per-head scale (attention-dropout folding): fwd + VJP vs oracle
+    with a random [G, M, M, H] scale carrying a dropout-style mask."""
+    sep_dir = sep_tensor = True
+    G, M, D, H, lmax = 2, 8, 32, 4, 2
+    inputs = list(jnp.asarray(a) for a in _random_inputs(
+        2, G, M, D, H, lmax, sep_dir, sep_tensor))
+    rng = np.random.default_rng(11)
+    keep = rng.random((G, M, M, H)) > 0.25
+    base = np.asarray(inputs[8])[..., None]          # [G, M, M, 1]
+    inputs[8] = jnp.asarray(
+        (base * keep / 0.75).astype(np.float32))     # [G, M, M, H]
+    inputs = tuple(inputs)
+    L = (lmax + 1) ** 2 - 1
+    cdh = jnp.asarray(rng.standard_normal((G, M, D)).astype(np.float32))
+    cdX = jnp.asarray(rng.standard_normal((G, M, L, D)).astype(np.float32))
+
+    fused = make_fused_gata(lmax, H, sep_dir, sep_tensor, interpret=True)
+    oracle_fn = lambda *a: _jnp_oracle(  # noqa: E731
+        *a, lmax, H, sep_dir, sep_tensor)
+
+    f_out = fused(*inputs)
+    o_out = oracle_fn(*inputs)
+    np.testing.assert_allclose(np.asarray(f_out[0]), np.asarray(o_out[0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(f_out[1]), np.asarray(o_out[1]),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(fn):
+        def f(*a):
+            d_h, dX = fn(*a)
+            return jnp.sum(d_h * cdh) + jnp.sum(dX * cdX)
+        return f
+
+    argn = tuple(range(len(inputs)))
+    g_f = jax.grad(loss(fused), argnums=argn)(*inputs)
+    g_o = jax.grad(loss(oracle_fn), argnums=argn)(*inputs)
+    for i, (a, b) in enumerate(zip(g_f, g_o)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4,
+            err_msg=f"grad mismatch for arg {i}")
 
 
 @pytest.mark.skipif(os.environ.get("GOTENNET_TPU_TESTS") != "1",
