@@ -57,14 +57,17 @@ def _pick_i_tile(M: int, max_pairs: int = 4096) -> int:
     """Rows of i handled per grid step: the largest divisor of M whose
     pair block TI*M stays under ``max_pairs`` (QM9's M=32 -> one tile;
     M=128 -> TI=32).  Keeps VMEM and Mosaic compile time bounded at
-    large M."""
+    large M.  A partial tile must be a multiple of 8 (Mosaic sublane
+    constraint on the [TI, D] node blocks); the dense loaders round M
+    up to a multiple of 8, so TI=8 always exists there.  Falls back to
+    the whole graph when M has no suitable divisor."""
     if M * M <= max_pairs:
         return M
-    best = 1
-    for ti in range(1, M + 1):
+    best = 0
+    for ti in range(8, M + 1, 8):
         if M % ti == 0 and ti * M <= max_pairs:
             best = ti
-    return best
+    return best or M
 
 
 def _kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
