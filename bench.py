@@ -194,7 +194,10 @@ def main():
         # set BENCH_LAYOUT=edge to measure the sparse path
         layout = os.environ.get("BENCH_LAYOUT", "dense")
         batch_size = int(os.environ.get("BENCH_BATCH", 32))
-        default_chunk = 1
+        # fused sweep (PERF.md): 4-frame chunks optimal (133.8 ms vs
+        # 137.0 at 1); the unfused path prefers single-frame chunks
+        default_chunk = (4 if os.environ.get("BENCH_FUSED", "1") == "1"
+                         else 1)
     else:
         default_chunk = 8
     chunk = int(os.environ.get("BENCH_CHUNK", default_chunk
@@ -213,7 +216,11 @@ def main():
     # fused Pallas message kernel is the default headline path
     # (1.19M vs 1.08M edges/s unfused at batch-256 QM9, v5e-1)
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
-    fused_htr = os.environ.get("BENCH_FUSED_HTR", "0") == "1"
+    # HTR kernel: loses to XLA's elementwise fusion at QM9 shapes but
+    # wins at MD22 pair volume (PERF.md) — default per dataset
+    fused_htr = os.environ.get(
+        "BENCH_FUSED_HTR",
+        "1" if (dataset == "md22" and fused) else "0") == "1"
     # remat: with the fused kernel the big pair tensors never become
     # residuals (the custom_vjp saves only node tensors + softmax), so
     # block remat buys nothing and costs a forward recompute
@@ -262,7 +269,8 @@ def main():
     batch = jax.tree.map(lambda *xs: jnp.stack(xs), *chunks) \
         if n_chunks > 1 else chunks[0]
 
-    vmem_kib = os.environ.get("BENCH_VMEM_KIB", "65536")
+    vmem_kib = os.environ.get("BENCH_VMEM_KIB",
+                              "98304" if dataset == "md22" else "65536")
     init_copts = ({"xla_tpu_scoped_vmem_limit_kib": vmem_kib}
                   if fused else None)
     params = jax.jit(model.init, compiler_options=init_copts)(
