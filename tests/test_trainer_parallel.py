@@ -159,3 +159,34 @@ def test_csv_logger_backend(tmp_path):
     jl = [json.loads(l) for l in
           open(os.path.join(str(tmp_path), "metrics.jsonl"))]
     assert jl[-1]["loss"] == 0.25
+
+
+def test_data_parallel_fused_dense(tmp_path):
+    """Data-parallel training of the fused-kernel dense model (Pallas
+    interpret on the CPU mesh) == single-device grad-accum training:
+    the custom_vjp composes with shard_map/psum."""
+    import dataclasses
+
+    from gotennet_tpu.data.dataset import DenseLoader
+
+    cfg = dataclasses.replace(CFG, fused=True, remat=False)
+    ds = synthetic_molecules(16, seed=0, min_atoms=5, max_atoms=10)
+    task = QM9Task("U0", dataset_meta={"mean": float(ds.y.mean()),
+                                       "std": float(ds.y.std())})
+    model = GotenModel(cfg, task.build_head(), layout="dense")
+    loader = DenseLoader(ds, batch_size=4, shuffle=False)
+    params = model.init(jax.random.PRNGKey(0), next(iter(loader)))
+
+    t_acc = Trainer(model, task, TrainerConfig(
+        lr=1e-3, max_epochs=1, scheduler="none", grad_accum_steps=2,
+        workdir=str(tmp_path / "acc")))
+    p_acc, h_acc = t_acc.fit(params, loader, loader)
+
+    t_dp = Trainer(model, task, TrainerConfig(
+        lr=1e-3, max_epochs=1, scheduler="none", data_parallel=2,
+        workdir=str(tmp_path / "dp")))
+    p_dp, h_dp = t_dp.fit(params, loader, loader)
+
+    _allclose_trees(p_acc, p_dp, rtol=2e-4, atol=1e-5)
+    assert np.isclose(h_acc[-1]["val_loss"], h_dp[-1]["val_loss"],
+                      rtol=2e-4)
