@@ -228,6 +228,7 @@ def main():
     cfg = GotenNetConfig(
         n_atom_basis=256, n_interactions=4, lmax=2, n_rbf=64, num_heads=8,
         attn_dropout=0.0, fused=fused, fused_htr=fused_htr, remat=remat,
+        edge_state_pair_dtype=os.environ.get("BENCH_T_STATE", "0") == "1",
         pair_dtype=jnp.bfloat16 if pair_dtype == "bf16" else jnp.float32)
     task = QM9Task("U0", dataset_meta={"mean": 0.0, "std": 1.0})
     model = GotenModel(cfg, task.build_head(), layout=layout)

@@ -147,6 +147,12 @@ class GotenNetConfig:
     # Requires swish/silu activation and aggr='add'; attention dropout
     # folds into the kernel's per-head scale input.
     fused: bool = False
+    # Dense layout: keep the inter-layer edge state t_ij in pair_dtype
+    # instead of f32.  t_ij is a [G,M,M,D] pair tensor — the last one
+    # still stored f32 — and the XLA ops streaming it (gamma_t MLP,
+    # HTR pair products and their backwards) are HBM-bound.  The
+    # per-layer residual update rounds to bf16 once per layer.
+    edge_state_pair_dtype: bool = False
     # Also run the HTR edge update as a Pallas kernel
     # (ops/pallas/fused_htr.py).  Validated but measured ~5% slower
     # than XLA's fusion of the same (pure-elementwise) math on v5e

@@ -432,11 +432,16 @@ class GotenNetDense(fnn.Module):
 
         X = jnp.zeros((G, M, cfg.sh_dim, D), h.dtype)
         gata_cls = fnn.remat(GATADense) if cfg.remat else GATADense
+        sd = cfg.pair_dtype if cfg.edge_state_pair_dtype else None
+        if sd is not None:
+            t_ij = t_ij.astype(sd)
         for i in range(cfg.n_interactions):
             h, X, t_ij = gata_cls(
                 cfg, last_layer=(i == cfg.n_interactions - 1),
                 deterministic=deterministic, name=f"gata_{i}")(
                     h, X, t_ij, rl_ij, dist, pair_mask, n_edges)
+            if sd is not None:
+                t_ij = t_ij.astype(sd)
             h, X = EQFF(cfg, name=f"eqff_{i}")(h, X)
 
         return h, X

@@ -592,7 +592,10 @@ def make_fused_gata(lmax: int, num_heads: int, sep_dir: bool,
     def bwd(res, cots):
         args, sm = res
         g_dh, g_dX = cots
-        return _pallas_backward(*args, sm, g_dh, g_dX, **kw)
+        grads = _pallas_backward(*args, sm, g_dh, g_dX, **kw)
+        # custom_vjp requires cotangent dtypes == primal dtypes (e.g.
+        # bf16 t_ij under edge_state_pair_dtype)
+        return tuple(g.astype(a.dtype) for g, a in zip(grads, args))
 
     fused.defvjp(fwd, bwd)
     return fused
