@@ -97,6 +97,29 @@ def main() -> int:
             np.asarray(a), np.asarray(b), rtol=2e-2, atol=1e-2,
             err_msg=f"compiled grad mismatch for {name}")
 
+    # i-tiled grid at MD22 scale (M=120 -> fwd TI=24, bwd TI=8):
+    # compiled forward vs oracle (backward covered at M=32 shapes and
+    # by the interpret-mode tiled gradcheck; a full M=120 bwd compile
+    # adds ~2 min for no extra lowering coverage)
+    lmax, H = 2, 4
+    inputs = _random_inputs(seed=3, G=1, M=120, D=128, H=H, lmax=lmax,
+                            sep_dir=True, sep_tensor=True)
+    d_h, dX, attn = fused_gata_message(
+        *inputs, lmax=lmax, num_heads=H, sep_dir=True, sep_tensor=True,
+        interpret=False)
+    e_dh, e_dX, e_attn = _oracle(*[np.asarray(x) for x in inputs],
+                                 lmax, H, True, True)
+    # atol 3e-2: j-sums of 120 O(1) terms amplify the hardware
+    # exp/logistic approximation error on near-zero outputs (the
+    # interpret-mode tiled gradcheck pins the math exactly)
+    np.testing.assert_allclose(np.asarray(attn), e_attn, rtol=5e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d_h), e_dh, rtol=2e-2,
+                               atol=3e-2)
+    np.testing.assert_allclose(np.asarray(dX), e_dX, rtol=2e-2,
+                               atol=3e-2)
+    print("tiled M=120 forward ok", file=sys.stderr)
+
     # compiled HTR edge-update kernel: forward + backward vs oracle
     from test_fused_htr import _inputs as htr_inputs, _oracle as htr_oracle
     from gotennet_tpu.ops.pallas.fused_htr import make_fused_htr
