@@ -198,6 +198,12 @@ def main():
         # 137.0 at 1); the unfused path prefers single-frame chunks
         default_chunk = (4 if os.environ.get("BENCH_FUSED", "1") == "1"
                          else 1)
+    elif dataset == "large":
+        # 10^3-atom regime (the ELL layout's target): 600-700-atom
+        # frames at condensed-phase density, batch 8
+        layout = os.environ.get("BENCH_LAYOUT", "ell")
+        batch_size = int(os.environ.get("BENCH_BATCH", 8))
+        default_chunk = 1
     else:
         default_chunk = 8
     chunk = int(os.environ.get("BENCH_CHUNK", default_chunk
@@ -224,7 +230,9 @@ def main():
     # remat: with the fused kernel the big pair tensors never become
     # residuals (the custom_vjp saves only node tensors + softmax), so
     # block remat buys nothing and costs a forward recompute
-    remat = os.environ.get("BENCH_REMAT", "0" if fused else "1") == "1"
+    remat = os.environ.get(
+        "BENCH_REMAT",
+        "0" if (fused and layout == "dense") else "1") == "1"
     cfg = GotenNetConfig(
         n_atom_basis=256, n_interactions=4, lmax=2, n_rbf=64, num_heads=8,
         attn_dropout=0.0, fused=fused, fused_htr=fused_htr, remat=remat,
@@ -238,6 +246,13 @@ def main():
         # density (~25-30 neighbors within the 5 A cutoff)
         ds = synthetic_molecules(batch_size, seed=0, min_atoms=110,
                                  max_atoms=120, box=6.3)
+    elif dataset == "large":
+        # same condensed-phase density as the md22 mode (box is
+        # density-normalized: ~0.05 atoms/A^3, ~25-30 neighbors in
+        # the 5 A cutoff) at 600-700 atoms -> ELL K~32 vs dense
+        # M=704 (20x pair padding)
+        ds = synthetic_molecules(batch_size, seed=0, min_atoms=600,
+                                 max_atoms=700, box=6.3)
     else:
         # QM9-like size distribution (~18 atoms mean, <=29 max)
         ds = synthetic_molecules(batch_size, seed=0, min_atoms=12,

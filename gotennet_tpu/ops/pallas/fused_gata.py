@@ -63,11 +63,13 @@ def _pick_i_tile(M: int, max_pairs: int = 4096) -> int:
     the whole graph when M has no suitable divisor."""
     if M * M <= max_pairs:
         return M
-    best = 0
-    for ti in range(8, M + 1, 8):
-        if M % ti == 0 and ti * M <= max_pairs:
-            best = ti
-    return best or M
+    divs = [ti for ti in range(8, M + 1, 8) if M % ti == 0]
+    fits = [ti for ti in divs if ti * M <= max_pairs]
+    if fits:
+        return fits[-1]
+    # no divisor fits the budget (very large M): take the smallest
+    # slab rather than falling back to the whole (uncompilable) graph
+    return divs[0] if divs else M
 
 
 def _kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
