@@ -57,13 +57,8 @@ def _rtt_seconds():
 def bench_pallas():
     """Microbench BENCH_MODE=pallas: compiled fused-GATA kernel vs the
     XLA formulation of the same message+aggregate step, flagship dense
-    shapes (M=32, D=256, H=8, lmax=2, sep_dir/sep_tensor on).
-
-    Note (PERF.md): through the axon relay Mosaic kernels execute at
-    interpreter-like speed, so this number only means something on a
-    directly-attached TPU — which is exactly why it is a flag and not
-    the default.
-    """
+    shapes (M=32, D=256, H=8, lmax=2, sep_dir/sep_tensor on), forward
+    and forward+analytic-VJP."""
     import math
 
     import jax
@@ -134,8 +129,11 @@ def bench_pallas():
             return d_h, jnp.concatenate(blocks, 2)
         return xla_step
 
+    copts = ({"xla_tpu_scoped_vmem_limit_kib": "65536"}
+             if jax.default_backend() == "tpu" else None)
+
     def timed(fn):
-        @jax.jit
+        @functools.partial(jax.jit, compiler_options=copts)
         def run(t):
             def body(c, _):
                 d_h, dX = fn(t + c * 1e-20)[:2]
@@ -155,10 +153,39 @@ def bench_pallas():
             W_rs, b_rs, lmax=lmax, num_heads=H, sep_dir=True,
             sep_tensor=True, pair_dtype=pd)
 
+    from gotennet_tpu.ops.pallas.fused_gata import make_fused_gata
+
+    def make_fused_grad(pd):
+        fn = make_fused_gata(lmax, H, True, True, pair_dtype=pd)
+
+        def loss(tt):
+            d_h, dX = fn(tt, q, k_, xg, v, rl, X, env_signed, scale,
+                         W_re, b_re, W_rs, b_rs)
+            return jnp.sum(d_h) + jnp.sum(dX)
+
+        def both(tt):
+            g = jax.grad(loss)(tt)
+            return g[:, :, 0, :], g[:, :, None, 0, :1] * 0.0
+        return both
+
+    def make_xla_grad(pd):
+        step = make_xla_step(pd)
+
+        def loss(tt):
+            d_h, dX = step(tt)
+            return jnp.sum(d_h) + jnp.sum(dX)
+
+        def both(tt):
+            g = jax.grad(loss)(tt)
+            return g[:, :, 0, :], g[:, :, None, 0, :1] * 0.0
+        return both
+
     dt_fused = timed(make_fused(jnp.bfloat16))
     dt_fused_f32 = timed(make_fused(jnp.float32))
     dt_xla = timed(make_xla_step(jnp.bfloat16))
     dt_xla_f32 = timed(make_xla_step(jnp.float32))
+    dt_fused_g = timed(make_fused_grad(jnp.bfloat16))
+    dt_xla_g = timed(make_xla_grad(jnp.bfloat16))
     pairs = G * M * M
     print(json.dumps({
         "metric": "fused_gata_pairs_per_s",
@@ -171,6 +198,8 @@ def bench_pallas():
         "fused_f32_ms": round(dt_fused_f32 * 1e3, 3),
         "xla_ms": round(dt_xla * 1e3, 3),
         "xla_f32_ms": round(dt_xla_f32 * 1e3, 3),
+        "fused_fwdbwd_ms": round(dt_fused_g * 1e3, 3),
+        "xla_fwdbwd_ms": round(dt_xla_g * 1e3, 3),
         "batch_graphs": G,
         "device": str(jax.devices()[0]),
     }))
