@@ -17,17 +17,23 @@ one ``lax.scan`` and the wall time of a single scalar readback is
 measured; the separately-measured readback round-trip is subtracted.
 
 Env knobs: BENCH_BATCH (default 256), BENCH_STEPS (default 20),
-BENCH_MODE=train|forward (default train), BENCH_LAYOUT=dense|edge|ell
+BENCH_MODE=train|forward|pallas (default train; 'pallas' runs the
+kernel-vs-XLA microbench), BENCH_LAYOUT=dense|edge|ell
 (default dense — batched [G,M,M] MXU formulation; 'edge' is the flat
-scatter/segment path; 'ell' is padded [N,K] neighbor rows, scatter-free
-with O(N*K) padding — the large-molecule path),
+scatter/segment path; 'ell' is padded [N,K] neighbor rows),
 BENCH_PAIR_DTYPE=bf16|f32 (default bf16:
 pair-tensor storage dtype; matmul accumulation is always f32),
 BENCH_CHUNK (default 8): graphs per gradient-accumulation chunk —
-the optimizer still steps once per 256-graph batch; small chunks let
-XLA keep the pair tensors VMEM-resident (measured optimum ~4-8),
-BENCH_DATASET=qm9|md22 (default qm9: 12-29-atom molecules, batch 256;
-md22: ~120-atom AT-AT-CG-CG-scale frames, batch 32, edge layout).
+the optimizer still steps once per full batch; small chunks keep
+pair tensors VMEM-resident (measured optimum ~4-8),
+BENCH_DATASET=qm9|md22|large (qm9: 12-29-atom molecules, batch 256;
+md22: ~120-atom frames, batch 32; large: 600-700-atom frames,
+batch 8), BENCH_FUSED (default 1: fused Pallas message kernel,
+dense layout only), BENCH_FUSED_HTR (default 1 for md22, else 0),
+BENCH_REMAT (default 0 when fused+dense else 1), BENCH_T_STATE
+(bf16 inter-layer edge state, default 0), BENCH_MAX_ATOMS (dense M
+padding override), BENCH_VMEM_KIB (scoped-vmem limit for the fused
+VJP; default 64M, 96M for md22).
 """
 
 import functools
