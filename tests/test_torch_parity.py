@@ -140,3 +140,38 @@ def test_load_reference_lightning_checkpoint(tmp_path):
     h0, X0 = model.apply(params, batch, method=GotenNet.from_batch)
     h1, X1 = GotenNet(cfg2).apply(params2, batch, method=GotenNet.from_batch)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=1e-6)
+
+
+def test_fused_kernels_match_torch_oracle():
+    """The Pallas kernels (message + HTR, interpret mode) reproduce the
+    reference math directly: GotenNetDense(fused=True, fused_htr=True)
+    vs the independent torch re-derivation, through the reference
+    state-dict converter (not just fused-vs-unfused self-checks)."""
+    import dataclasses
+
+    from gotennet_tpu.graph.dense_batch import collate_dense
+    from gotennet_tpu.models.gotennet_dense import GotenNetDense
+
+    cfg = dataclasses.replace(_cfg(), fused=True, fused_htr=True)
+    rng = np.random.default_rng(0)
+    graphs = _graphs(rng)
+    db = collate_dense(graphs, 2, 8)
+    model = GotenNetDense(cfg)
+    params = model.init(jax.random.PRNGKey(0), db)
+    h_jax, X_jax = model.apply(params, db)
+
+    sd = params_to_state_dict(params, cfg)
+    batch = collate_graphs(graphs, 16, 128, 2, cutoff=cfg.cutoff)
+    em = np.asarray(batch.edge_mask)
+    h_t, X_t = reference_forward(
+        sd, cfg, np.asarray(batch.z), np.asarray(batch.pos),
+        np.asarray(batch.edge_src)[em], np.asarray(batch.edge_dst)[em])
+    h_t, X_t = h_t.numpy(), X_t.numpy()
+    off = 0
+    for g, gr in enumerate(graphs):
+        m = len(gr["z"])
+        np.testing.assert_allclose(np.asarray(h_jax)[g, :m],
+                                   h_t[off:off + m], rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(X_jax)[g, :m],
+                                   X_t[off:off + m], rtol=2e-4, atol=2e-4)
+        off += m
