@@ -316,7 +316,10 @@ def make_fused_htr(lmax: int, sep_htr: bool, rej: bool, gate: str,
         return fwd_call(*args), args
 
     def bwd(args, g_out):
-        return bwd_call(*args, g_out)
+        grads = bwd_call(*args, g_out)
+        # custom_vjp requires cotangent dtypes == primal dtypes (e.g.
+        # bf16 t_ij under edge_state_pair_dtype)
+        return tuple(g.astype(a.dtype) for g, a in zip(grads, args))
 
     fused.defvjp(fwd, bwd)
     return fused
