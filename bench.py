@@ -298,7 +298,7 @@ def main():
     real_nodes = int(np.asarray(eb.node_mask).sum())
     if layout == "dense":
         # BENCH_MAX_ATOMS overrides the dense M padding (the fused
-        # kernel i-tiles any M with a suitable divisor; M=120 -> TI=30)
+        # kernel i-tiles M into multiple-of-8 divisors; M=120 -> TI=24)
         ma = os.environ.get("BENCH_MAX_ATOMS")
         chunks = list(DenseLoader(ds, batch_size=chunk,
                                   max_atoms=int(ma) if ma else None)

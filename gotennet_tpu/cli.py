@@ -38,6 +38,10 @@ def _build_data(cfg: Dict, label: str):
     dm = cfg["datamodule"]
     workdir = cfg["workdir"]
     os.makedirs(workdir, exist_ok=True)
+    # set when the dataset itself is already split across hosts
+    # (Molecule3D NPZ shards): loader-level batch sharding must not
+    # apply a second split on top
+    host_sharded = False
 
     if dm["dataset"] == "QM9":
         from gotennet_tpu.data.qm9 import load_qm9
@@ -46,12 +50,26 @@ def _build_data(cfg: Dict, label: str):
         from gotennet_tpu.data.md17 import load_md_dataset
         ds = load_md_dataset(dm["dataset_root"], label,
                              max_frames=dm.get("max_frames"))
+    elif dm["dataset"] == "Molecule3D":
+        from gotennet_tpu.data.molecule3d import is_shard_dir, load_molecule3d
+        host, n_hosts = 0, 1
+        if cfg["trainer"].get("distributed"):
+            host, n_hosts = jax.process_index(), jax.process_count()
+        host_sharded = n_hosts > 1 and is_shard_dir(dm["dataset_root"])
+        ds = load_molecule3d(dm["dataset_root"], label=label,
+                             max_molecules=dm.get("max_molecules"),
+                             host=host if host_sharded else 0,
+                             n_hosts=n_hosts if host_sharded else 1)
     elif dm["dataset"] == "synthetic":
         ds = synthetic_molecules(dm.get("n_molecules", 256),
                                  seed=dm.get("seed", 1),
                                  with_forces=dm.get("with_forces", False))
     else:
         raise ValueError(f"Unknown dataset {dm['dataset']!r}")
+
+    if dm.get("normalize_positions"):
+        from gotennet_tpu.data.dataset import center_positions
+        ds = center_positions(ds)
 
     idx_train, idx_val, idx_test = make_splits(
         len(ds), dm["train_size"], dm["val_size"], dm.get("test_size"),
@@ -106,6 +124,19 @@ def _build_data(cfg: Dict, label: str):
         test_loader = BatchLoader(ds.subset(idx_test),
                                   dm.get("inference_batch_size",
                                          dm["batch_size"]), **mk)
+    if cfg["trainer"].get("distributed") and not host_sharded:
+        # per-host loader sharding (≙ torch DistributedSampler; train
+        # drops trailing batches so every host runs the same number of
+        # steps, eval wraps around so collective counts stay aligned).
+        # Skipped when the dataset is pre-sharded per host (Molecule3D
+        # NPZ shards) — there, equal per-host shard sizes are the
+        # operator's responsibility (save_shards emits fixed-size
+        # shards, so only the tail shard differs).
+        world, rank = jax.process_count(), jax.process_index()
+        if world > 1:
+            train_loader.set_shard(world, rank)
+            val_loader.set_shard(world, rank, pad=True)
+            test_loader.set_shard(world, rank, pad=True)
     meta = {"mean": mean, "std": std, "atomref": ds.atomref}
     return train_loader, val_loader, test_loader, meta
 
@@ -122,13 +153,14 @@ _OUTPUT_KEYS = {"n_hidden", "n_layers", "activation"}
 _TRAINER_KEYS = {
     "max_epochs", "early_stopping_patience", "monitor",
     "monitor_checkpoint", "log_every", "logger", "tensorboard", "resume",
-    "grad_accum_steps", "data_parallel", "edge_parallel",
+    "grad_accum_steps", "data_parallel", "edge_parallel", "distributed",
 }
 _DATAMODULE_KEYS = {
     "dataset", "dataset_root", "batch_size", "inference_batch_size",
     "standardize", "train_size", "val_size", "test_size", "splits",
     "seed", "max_num_neighbors", "prior_model", "normalize_positions",
     "n_molecules", "with_forces", "max_frames", "neighbor_probe",
+    "max_molecules",
 }
 
 
@@ -173,6 +205,7 @@ def _build_trainer_config(cfg: Dict):
         grad_accum_steps=tr.get("grad_accum_steps", 1),
         data_parallel=tr.get("data_parallel", 1),
         edge_parallel=tr.get("edge_parallel", 1),
+        distributed=tr.get("distributed", False),
     )
 
 
@@ -194,6 +227,10 @@ def _build_model_and_trainer(cfg: Dict, meta: Dict):
         rep["pair_dtype"] = jnp.bfloat16
     else:
         rep.pop("pair_dtype", None)
+    # the dense layout enforces the neighbor cap inside the forward
+    # pass; keep it in sync with the datamodule's loader-side cap
+    rep.setdefault("max_num_neighbors",
+                   cfg["datamodule"].get("max_num_neighbors", 32))
     gcfg = GotenNetConfig(**rep)
     task_cls = TASK_DICT[cfg["task"]]
     tkw = {"task_loss": mc.get("task_loss", "L1Loss")}
@@ -214,6 +251,8 @@ def _print_config(cfg: Dict, indent: int = 0) -> None:
     """Plain-text config tree (reference's Rich print_config capability,
     utils/__init__.py:97-149)."""
     for k, v in cfg.items():
+        if isinstance(k, str) and k.startswith("_"):
+            continue  # bookkeeping keys (_overrides)
         if isinstance(v, dict):
             print("  " * indent + f"{k}:")
             _print_config(v, indent + 1)
@@ -222,6 +261,14 @@ def _print_config(cfg: Dict, indent: int = 0) -> None:
 
 
 def train(cfg: Dict) -> Dict[str, float]:
+    if cfg["trainer"].get("distributed"):
+        # multi-HOST bootstrap: must run before any other jax call so
+        # jax.devices() is the global set (≙ Lightning DDP launcher)
+        from gotennet_tpu.parallel import initialize_distributed
+        info = initialize_distributed()
+        print(f"distributed: process {info['process_index']}"
+              f"/{info['process_count']}, "
+              f"{info['global_devices']} global devices")
     _print_config(cfg)
     label = cfg["label"]
     train_loader, val_loader, test_loader, meta = _build_data(cfg, label)
@@ -289,9 +336,16 @@ def test(cfg: Dict) -> Dict[str, float]:
             raise ValueError(f"checkpoint {ckpt} has no embedded config")
         meta = load_meta(ckpt)
 
-    # label/task inferred from the checkpoint; explicit CLI override wins
-    label = cfg.get("label") or meta.get("label") or "U0"
-    task_name = meta.get("task") or cfg.get("task", "QM9")
+    # label/task inferred from the checkpoint; an *explicit* CLI
+    # override wins, but the config-tree default (train.yaml always
+    # defines label: "U0") must not shadow the checkpoint's own label —
+    # otherwise `test checkpoint=QM9_small_homo` would evaluate the homo
+    # model against U0 targets (reference testing_pipeline.py:43-45)
+    cli_keys = set(cfg.get("_overrides") or ())
+    label = ((cfg.get("label") if "label" in cli_keys else None)
+             or meta.get("label") or cfg.get("label") or "U0")
+    task_name = ((cfg.get("task") if "task" in cli_keys else None)
+                 or meta.get("task") or cfg.get("task", "QM9"))
 
     # data pipeline must match the checkpoint's geometry, not train.yaml
     cfg = copy.deepcopy(cfg)

@@ -19,7 +19,8 @@ from gotennet_tpu.graph.batch import GraphBatch
 from gotennet_tpu.graph.neighborlist import collate_graphs
 
 __all__ = ["MoleculeDataset", "BatchLoader", "DenseLoader", "ELLLoader",
-           "make_splits", "synthetic_molecules", "standardize_energy"]
+           "make_splits", "synthetic_molecules", "standardize_energy",
+           "center_positions"]
 
 
 @dataclasses.dataclass
@@ -98,6 +99,22 @@ def make_splits(n: int, train_size, val_size, test_size, seed: int,
         np.savez(save_path, idx_train=idx_train, idx_val=idx_val,
                  idx_test=idx_test)
     return idx_train, idx_val, idx_test
+
+
+def center_positions(ds: MoleculeDataset) -> MoleculeDataset:
+    """Subtract each molecule's center of mass from its positions
+    (reference ``normalize_positions`` transform, applied at dataset
+    load when the datamodule hparam is set —
+    /root/reference/gotennet/datamodules/datamodule.py:19-31)."""
+    from gotennet_tpu.models.heads import ATOMIC_MASSES
+
+    masses = np.asarray(ATOMIC_MASSES, np.float64)
+    pos = []
+    for z, p in zip(ds.z, ds.pos):
+        w = masses[np.asarray(z)]
+        com = (w[:, None] * p).sum(0) / w.sum()
+        pos.append((p - com).astype(p.dtype))
+    return dataclasses.replace(ds, pos=pos)
 
 
 def standardize_energy(ds: MoleculeDataset, idx: Sequence[int],
@@ -179,6 +196,7 @@ class BatchLoader:
         self.batch_size = batch_size
         self.cutoff = cutoff
         self.shuffle = shuffle
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.max_num_neighbors = max_num_neighbors
         self.loop = loop
@@ -214,6 +232,44 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int) -> None:
+        """Make the shuffle a pure function of (seed, epoch) so a
+        resumed run reproduces the uninterrupted run's batch order
+        (≙ torch DistributedSampler.set_epoch)."""
+        self.rng = np.random.default_rng([self.seed, epoch])
+
+    # -- multi-host sharding (≙ torch DistributedSampler) ---------------
+    world: int = 1
+    rank: int = 0
+    pad_shard: bool = False
+
+    def set_shard(self, world: int, rank: int, pad: bool = False) -> None:
+        """Restrict iteration to every ``world``-th batch starting at
+        ``rank``.  Every process computes the same global batch order
+        (shared seed + set_epoch), so sharding at batch granularity
+        reproduces the single-process device groups exactly.  With
+        ``pad=False`` (training) trailing batches that don't fill every
+        rank are dropped so all hosts run the same number of steps;
+        with ``pad=True`` (evaluation) ranks wrap around to the start,
+        so duplicated batches keep collective call counts aligned at
+        the cost of slightly over-counting those molecules in metrics
+        (torch DistributedSampler's padding semantics)."""
+        if world < 1 or not (0 <= rank < world):
+            raise ValueError(f"bad shard ({world=}, {rank=})")
+        self.world = world
+        self.rank = rank
+        self.pad_shard = pad
+
+    def _shard_batch_indices(self, n_batches: int) -> List[int]:
+        if self.world == 1:
+            return list(range(n_batches))
+        if self.pad_shard:
+            total = -(-n_batches // self.world) * self.world
+            return [i % n_batches
+                    for i in range(self.rank, total, self.world)]
+        usable = (n_batches // self.world) * self.world
+        return list(range(self.rank, usable, self.world))
+
     def _collate(self, graphs, y_dim):
         return collate_graphs(
             graphs, self.node_capacity, self.edge_capacity,
@@ -228,7 +284,9 @@ class BatchLoader:
         bs = self.batch_size
         stop = len(self.ds) - (len(self.ds) % bs if self.drop_last else 0)
         y_dim = self.ds.y.shape[1] if self.ds.y is not None else 1
-        for off in range(0, stop, bs):
+        n_batches = len(range(0, stop, bs))
+        for b_idx in self._shard_batch_indices(n_batches):
+            off = b_idx * bs
             idx = order[off:off + bs]
             graphs = self.ds.graph_dicts(idx)
             while True:
@@ -271,6 +329,7 @@ class ELLLoader:
         self.batch_size = batch_size
         self.cutoff = cutoff
         self.shuffle = shuffle
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.max_num_neighbors = max_num_neighbors
         self.loop = loop
@@ -308,6 +367,11 @@ class ELLLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    set_epoch = BatchLoader.set_epoch
+    set_shard = BatchLoader.set_shard
+    _shard_batch_indices = BatchLoader._shard_batch_indices
+    world, rank, pad_shard = 1, 0, False
+
     def __iter__(self):
         from gotennet_tpu.graph.ell_batch import collate_ell
         order = np.arange(len(self.ds))
@@ -316,7 +380,9 @@ class ELLLoader:
         bs = self.batch_size
         stop = len(self.ds) - (len(self.ds) % bs if self.drop_last else 0)
         y_dim = self.ds.y.shape[1] if self.ds.y is not None else 1
-        for off in range(0, stop, bs):
+        n_batches = len(range(0, stop, bs))
+        for b_idx in self._shard_batch_indices(n_batches):
+            off = b_idx * bs
             graphs = self.ds.graph_dicts(order[off:off + bs])
             while True:
                 try:
@@ -351,6 +417,7 @@ class DenseLoader:
         self.ds = ds
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
         if max_atoms is None:
@@ -364,6 +431,11 @@ class DenseLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    set_epoch = BatchLoader.set_epoch
+    set_shard = BatchLoader.set_shard
+    _shard_batch_indices = BatchLoader._shard_batch_indices
+    world, rank, pad_shard = 1, 0, False
+
     def __iter__(self):
         from gotennet_tpu.graph.dense_batch import collate_dense
         order = np.arange(len(self.ds))
@@ -372,8 +444,9 @@ class DenseLoader:
         bs = self.batch_size
         stop = len(self.ds) - (len(self.ds) % bs if self.drop_last else 0)
         y_dim = self.ds.y.shape[1] if self.ds.y is not None else 1
-        for off in range(0, stop, bs):
-            idx = order[off:off + bs]
+        n_batches = len(range(0, stop, bs))
+        for b_idx in self._shard_batch_indices(n_batches):
+            idx = order[b_idx * bs:b_idx * bs + bs]
             yield collate_dense(self.ds.graph_dicts(idx), bs,
                                 self.max_atoms, y_dim=y_dim,
                                 with_forces=self.with_forces)

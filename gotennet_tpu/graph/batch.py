@@ -19,7 +19,46 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-__all__ = ["GraphBatch", "pad_sizes_for"]
+__all__ = ["GraphBatch", "pad_sizes_for", "pad_stack"]
+
+
+def pad_stack(batches):
+    """Stack same-structure batch pytrees along a new leading axis,
+    zero-padding leaves to common shapes first.
+
+    Mid-epoch rebucketing (BatchLoader/ELLLoader growing their edge or
+    neighbor capacity on overflow) can change batch shapes inside a
+    gradient-accumulation chunk or device group; growing a batch's
+    capacity with zero padding is semantics-preserving because padded
+    slots carry zero masks (and src=dst=0 edges match the collator's
+    own padding convention), so the stack succeeds instead of raising
+    a shape mismatch — the crash the rebucketing was meant to avoid.
+    """
+    import jax
+
+    treedef = None
+    leaves_per_batch = []
+    for b in batches:
+        leaves, td = jax.tree.flatten(b)
+        if treedef is None:
+            treedef = td
+        elif td != treedef:
+            raise ValueError("pad_stack: batch pytree structures differ")
+        leaves_per_batch.append(leaves)
+    stacked = []
+    for column in zip(*leaves_per_batch):
+        shapes = {tuple(np.shape(x)) for x in column}
+        if len(shapes) > 1:
+            ranks = {len(s) for s in shapes}
+            if len(ranks) > 1:
+                raise ValueError(f"pad_stack: rank mismatch {shapes}")
+            target = tuple(max(s[d] for s in shapes)
+                           for d in range(ranks.pop()))
+            column = [jnp.pad(jnp.asarray(x),
+                              [(0, t - s) for s, t in zip(x.shape, target)])
+                      for x in column]
+        stacked.append(jnp.stack([jnp.asarray(x) for x in column]))
+    return jax.tree.unflatten(treedef, stacked)
 
 
 @struct.dataclass

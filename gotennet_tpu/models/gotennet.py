@@ -126,6 +126,13 @@ class GotenNetConfig:
     sep_dir: bool = True
     sep_tensor: bool = True
     edge_ln: str = ""
+    # Per-node neighbor cap (reference GotenNetWrapper's Distance uses
+    # max_num_neighbors=32, gotennet.py:1018; radius_graph keeps the
+    # nearest k, layers.py:1589-1590).  The edge/ELL layouts cap in the
+    # host-side neighbor builder; the dense layout builds adjacency
+    # inside the forward pass and enforces the same nearest-k cap there
+    # so all three layouts compute the same graph at any density.
+    max_num_neighbors: int = 32
     dtype: Any = jnp.float32
     # Mesh axis along which the edge list is sharded (inside shard_map);
     # None = single-device semantics.  See graph/segment.py psum_axis.

@@ -409,6 +409,18 @@ class GotenNetDense(fnn.Module):
         eye = jnp.eye(M, dtype=bool)[None]
         both = mask[:, :, None] & mask[:, None, :]
         adj = both & ~eye & (d2 < cfg.cutoff ** 2)      # non-loop pairs
+        cap = cfg.max_num_neighbors
+        if cap is not None and cap < M - 1:
+            # nearest-k per destination row, ties broken by source index
+            # — exactly the host edge builder's stable-argsort semantics
+            # (graph/neighborlist.py), and the reference radius_graph
+            # max_num_neighbors cap (layers.py:1589-1590).  Statically
+            # skipped when the cap cannot bind (M-1 <= cap), so QM9-size
+            # batches pay nothing.
+            d2m = jnp.where(adj, d2, jnp.inf)
+            order = jnp.argsort(d2m, axis=-1, stable=True)
+            rank = jnp.argsort(order, axis=-1, stable=True)
+            adj = adj & (rank < cap)
         pair_mask = adj | (eye & mask[:, :, None] & mask[:, None, :])
         dist = jnp.where(adj, jnp.sqrt(jnp.where(adj, d2, 1.0)), 0.0)
         vec_n = jnp.where(adj[..., None],

@@ -53,13 +53,16 @@ __all__ = ["fused_gata_message", "make_fused_gata"]
 
 
 def _pick_i_tile(M: int, max_pairs: int = 4096) -> int:
-    """Rows of i handled per grid step: the largest divisor of M whose
-    pair block TI*M stays under ``max_pairs`` (QM9's M=32 -> one tile;
-    M=128 -> TI=32).  Keeps VMEM and Mosaic compile time bounded at
-    large M.  A partial tile must be a multiple of 8 (Mosaic sublane
-    constraint on the [TI, D] node blocks); the dense loaders round M
-    up to a multiple of 8, so TI=8 always exists there.  Falls back to
-    the whole graph when M has no suitable divisor."""
+    """Rows of i handled per grid step: the largest multiple-of-8
+    divisor of M whose pair block TI*M stays under ``max_pairs``
+    (QM9's M=32 -> one tile; M=120 -> TI=24; M=128 -> TI=32).  Keeps
+    VMEM and Mosaic compile time bounded at large M.  Tiles must be
+    multiples of 8 (Mosaic sublane constraint on the [TI, D] node
+    blocks); the dense loaders round M up to a multiple of 8, so TI=8
+    always exists there.  When even the TI=8 slab exceeds the pair
+    budget (M > max_pairs/8) the smallest slab is used anyway — the
+    kernel still compiles, just with a larger working set — and a
+    warning makes the VMEM pressure diagnosable."""
     if M * M <= max_pairs:
         return M
     divs = [ti for ti in range(8, M + 1, 8) if M % ti == 0]
@@ -68,7 +71,13 @@ def _pick_i_tile(M: int, max_pairs: int = 4096) -> int:
         return fits[-1]
     # no divisor fits the budget (very large M): take the smallest
     # slab rather than falling back to the whole (uncompilable) graph
-    return divs[0] if divs else M
+    ti = divs[0] if divs else M
+    from gotennet_tpu.utils.logging import get_logger
+    get_logger().warning(
+        "fused_gata: M=%d has no i-tile within the %d-pair budget; "
+        "using TI=%d (%d pairs/slab) — raise the scoped-vmem limit if "
+        "Mosaic reports VMEM exhaustion", M, max_pairs, ti, ti * M)
+    return ti
 
 
 def _kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,

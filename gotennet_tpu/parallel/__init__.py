@@ -21,9 +21,14 @@ Both compose in a single 2-D mesh ``('data', 'edge')``.
 from gotennet_tpu.parallel.mesh import make_mesh
 from gotennet_tpu.parallel.data_parallel import (
     batch_pspec,
+    make_global_batch,
     make_parallel_train_step,
     shard_graph_batch,
     stack_batches,
+)
+from gotennet_tpu.parallel.distributed import (
+    global_mesh,
+    initialize_distributed,
 )
 
 __all__ = [
@@ -31,5 +36,8 @@ __all__ = [
     "stack_batches",
     "shard_graph_batch",
     "batch_pspec",
+    "make_global_batch",
     "make_parallel_train_step",
+    "initialize_distributed",
+    "global_mesh",
 ]

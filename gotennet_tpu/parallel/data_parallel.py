@@ -30,9 +30,11 @@ __all__ = ["stack_batches", "shard_graph_batch", "batch_pspec",
 
 
 def stack_batches(batches: Sequence[GraphBatch]) -> GraphBatch:
-    """Stack identical-capacity GraphBatches along a new leading axis
-    (one slot per data-parallel device)."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *batches)
+    """Stack batches along a new leading axis (one slot per
+    data-parallel device); capacities that diverged mid-epoch are
+    zero-padded to a common shape first (see graph.batch.pad_stack)."""
+    from gotennet_tpu.graph.batch import pad_stack
+    return pad_stack(list(batches))
 
 
 def batch_pspec(edge_axis: Optional[str] = "edge",
@@ -79,6 +81,27 @@ def shard_graph_batch(batch, mesh: Mesh,
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         batch, spec)
+
+
+def make_global_batch(local_stacked, mesh: Mesh,
+                      edge_axis: Optional[str] = None,
+                      layout: str = "edge"):
+    """Assemble a globally-sharded batch in a multi-process run: each
+    process contributes its local device-group stack (leading axis =
+    this host's slots of the 'data' axis) and
+    ``jax.make_array_from_process_local_data`` glues the shards into
+    one global jax.Array per leaf — no host ever materializes the
+    global batch.  ≙ what Lightning DDP does implicitly by giving each
+    rank its own DataLoader shard."""
+    spec = pspec_for_layout(layout, edge_axis,
+                            with_forces=local_stacked.dy is not None)
+
+    def put(x, s):
+        sharding = NamedSharding(mesh, s)
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+
+    return jax.tree.map(put, local_stacked, spec)
 
 
 def make_parallel_train_step(loss_fn: Callable, tx: optax.GradientTransformation,

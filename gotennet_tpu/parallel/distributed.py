@@ -24,12 +24,25 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                            process_id: Optional[int] = None) -> dict:
     """Initialize jax.distributed (no-op for single process).
 
-    Without args, jax auto-detects cluster env (TPU pod metadata /
-    ``JAX_COORDINATOR_ADDRESS`` etc.).  Returns a topology summary.
+    Explicit args win; otherwise the standard environment variables
+    ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID`` are used (this is how the 2-process CPU test and
+    non-TPU clusters bootstrap); on TPU pods with none of those set,
+    jax auto-detects the cluster from pod metadata.  Returns a topology
+    summary.  Called by ``cli.train`` when ``trainer.distributed`` is
+    set.
     """
+    import os
+
     import jax
 
-    if num_processes is not None and num_processes > 1 or \
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if (num_processes is not None and num_processes > 1) or \
             coordinator_address is not None:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -8,6 +8,7 @@ handler, utils/file.py:193-196).
 
 from gotennet_tpu.tasks.base import Task
 from gotennet_tpu.tasks.force_task import MD17Task, MD22Task
+from gotennet_tpu.tasks.molecule3d import Molecule3DTask
 from gotennet_tpu.tasks.qm9 import QM9Task
 
 TASK_DICT = {
@@ -15,6 +16,8 @@ TASK_DICT = {
     "rMD17": MD17Task,
     "MD17": MD17Task,
     "MD22": MD22Task,
+    "Molecule3D": Molecule3DTask,
 }
 
-__all__ = ["Task", "QM9Task", "MD17Task", "MD22Task", "TASK_DICT"]
+__all__ = ["Task", "QM9Task", "MD17Task", "MD22Task", "Molecule3DTask",
+           "TASK_DICT"]

@@ -57,11 +57,13 @@ class Task:
         }]
 
     def get_metrics(self) -> List[dict]:
+        # 'kind' selects the accumulator statistic ('mae' | 'mse') —
+        # explicit, so metric names are free-form
         return [
             {"name": "MeanSquaredError", "prediction": "property",
-             "target": "y", "loss_fn": mse_loss},
+             "target": "y", "loss_fn": mse_loss, "kind": "mse"},
             {"name": "MeanAbsoluteError", "prediction": "property",
-             "target": "y", "loss_fn": l1_loss},
+             "target": "y", "loss_fn": l1_loss, "kind": "mae"},
         ]
 
     # -- head ------------------------------------------------------------

@@ -44,11 +44,11 @@ class MD17Task(Task):
         from gotennet_tpu.tasks.base import l1_loss, mse_loss
         return [
             {"name": "MeanAbsoluteError_energy", "prediction": "property",
-             "target": "y", "loss_fn": l1_loss},
+             "target": "y", "loss_fn": l1_loss, "kind": "mae"},
             {"name": "MeanAbsoluteError_force", "prediction": "forces",
-             "target": "dy", "loss_fn": l1_loss},
+             "target": "dy", "loss_fn": l1_loss, "kind": "mae"},
             {"name": "MeanSquaredError_energy", "prediction": "property",
-             "target": "y", "loss_fn": mse_loss},
+             "target": "y", "loss_fn": mse_loss, "kind": "mse"},
         ]
 
     def build_head(self) -> HeadConfig:

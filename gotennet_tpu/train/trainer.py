@@ -49,16 +49,19 @@ __all__ = ["TrainerConfig", "Trainer", "make_loss_fn"]
 
 def _chunked(loader, n_accum: int):
     """Yield single batches (n_accum == 1) or stacks of n_accum
-    consecutive same-shape batches along a new leading axis (trailing
-    remainder is dropped)."""
+    consecutive batches along a new leading axis (trailing remainder is
+    dropped).  Batches whose capacities diverged mid-epoch (loader
+    rebucketing, size-bucketed dense loaders) are zero-padded to a
+    common shape before stacking."""
     if n_accum == 1:
         yield from loader
         return
+    from gotennet_tpu.graph.batch import pad_stack
     buf = []
     for b in loader:
         buf.append(b)
         if len(buf) == n_accum:
-            yield jax.tree.map(lambda *xs: jnp.stack(xs), *buf)
+            yield pad_stack(buf)
             buf = []
 
 
@@ -98,6 +101,13 @@ class TrainerConfig:
     # Loss-value EMA (reference goten_model.py:479-497): per-stage EMA
     # replaces the logged/monitored loss for stages in ``ema_stages``
     # (reference default ["train", "validation"], goten_model.py:145-148).
+    # Deliberate deviation: the EMA here is LOG/MONITOR-ONLY — the
+    # optimized training objective is always the raw per-batch loss.
+    # The reference substitutes the EMA-smoothed value into the loss it
+    # backprops when use_ema is on (goten_model.py:488-496), which
+    # rescales gradients by ema_rate; smoothing the monitor without
+    # touching gradients keeps optimization semantics clean on TPU
+    # (the EMA state lives host-side, outside the jitted step).
     ema_rate: float = 0.0               # 0 = off
     ema_stages: Tuple[str, ...] = ("train", "validation")
     seed: int = 1
@@ -119,6 +129,15 @@ class TrainerConfig:
     # one chip's HBM.  Replaces the reference's Lightning DDP.
     data_parallel: int = 1
     edge_parallel: int = 1
+    # Multi-HOST (multi-process) execution: the mesh spans every
+    # process's devices (data_parallel/edge_parallel are GLOBAL
+    # counts), each process feeds only its addressable shard of the
+    # batch (jax.make_array_from_process_local_data), metrics reduce
+    # across hosts, and checkpoint/log writes are rank-zero-guarded.
+    # The caller (cli.train) must run
+    # parallel.initialize_distributed() first.  ≙ Lightning DDP
+    # num_nodes (reference configs/datamodule/qm9.yaml:21).
+    distributed: bool = False
 
 
 def make_loss_fn(model: GotenModel, task) -> Callable:
@@ -185,7 +204,18 @@ class Trainer:
         self.loss_fn = make_loss_fn(self.model, task)
         self.mesh = None
         self.edge_axis = None
+        self.n_proc = jax.process_count() if cfg.distributed else 1
         n_dev = cfg.data_parallel * cfg.edge_parallel
+        if cfg.distributed:
+            if n_dev != len(jax.devices()):
+                raise ValueError(
+                    f"distributed=True: data_parallel*edge_parallel "
+                    f"({n_dev}) must equal the GLOBAL device count "
+                    f"({len(jax.devices())})")
+            if cfg.data_parallel % self.n_proc:
+                raise ValueError(
+                    f"data_parallel ({cfg.data_parallel}) must divide "
+                    f"evenly over {self.n_proc} processes")
         if n_dev > 1:
             if cfg.edge_parallel > 1 and model.layout != "edge":
                 raise ValueError(
@@ -398,14 +428,28 @@ class Trainer:
 
     def _stack_group(self, group):
         """Stack a group of per-device batches and lay it out on the
-        mesh."""
+        mesh.  In a multi-process run the group holds only this host's
+        slots of the data axis; the shards are glued into global
+        arrays."""
         from gotennet_tpu.parallel.data_parallel import (
+            make_global_batch,
             shard_graph_batch,
             stack_batches,
         )
-        return shard_graph_batch(stack_batches(group), self.mesh,
+        stacked = stack_batches(group)
+        if self.n_proc > 1:
+            return make_global_batch(stacked, self.mesh,
+                                     edge_axis=self.edge_axis,
+                                     layout=self.model.layout)
+        return shard_graph_batch(stacked, self.mesh,
                                  edge_axis=self.edge_axis,
                                  layout=self.model.layout)
+
+    @property
+    def _dp_local(self) -> int:
+        """Data-axis slots this process feeds (= data_parallel on a
+        single host)."""
+        return self.cfg.data_parallel // self.n_proc
 
     def _train_batches(self, loader):
         """Yield per-optimizer-step batches: accumulation-chunked, and
@@ -415,7 +459,7 @@ class Trainer:
         if self.mesh is None:
             yield from chunks
             return
-        dp = self.cfg.data_parallel
+        dp = self._dp_local
         for group in _grouped(chunks, dp):
             if len(group) < dp:
                 break
@@ -428,22 +472,52 @@ class Trainer:
         # at entry so the caller's arrays survive fit()
         params = jax.tree.map(jnp.array, params)
         step = 0
-        if cfg.resume:
-            last = os.path.join(cfg.workdir, "ckpt_last")
-            if os.path.isdir(last):
-                from gotennet_tpu.train.checkpoint import load_checkpoint
-                _, params, step = load_checkpoint(last)
-        opt_state = self.tx.init(params)
+        start_epoch = 0
         rng = jax.random.PRNGKey(cfg.seed)
         monitor_ckpt = cfg.monitor_checkpoint or cfg.monitor
         best_stop = math.inf   # early-stop monitor
         best_ckpt = math.inf   # checkpoint-selection monitor
         bad_epochs = 0
+        opt_state = self.tx.init(params)
+        if cfg.resume:
+            last = os.path.join(cfg.workdir, "ckpt_last")
+            if os.path.isdir(last):
+                # full-state resume (≙ Lightning ckpt_path,
+                # training_pipeline.py:44-50): params, optimizer
+                # moments, scheduler/EMA state, epoch, best metrics
+                # and RNG all continue the saved trajectory
+                from gotennet_tpu.train.checkpoint import (
+                    load_checkpoint,
+                    load_train_state,
+                )
+                _, params, step = load_checkpoint(last)
+                params = jax.tree.map(jnp.asarray, params)
+                opt_state = self.tx.init(params)
+                restored_opt, ts = load_train_state(last, opt_state)
+                if restored_opt is not None:
+                    opt_state = restored_opt
+                if ts:
+                    start_epoch = int(ts.get("epoch", -1)) + 1
+                    best_stop = float(ts.get("best_stop", math.inf))
+                    best_ckpt = float(ts.get("best_ckpt", math.inf))
+                    bad_epochs = int(ts.get("bad_epochs", 0))
+                    self.ema = dict(ts.get("ema") or {})
+                    pl = ts.get("plateau")
+                    if pl:
+                        self.plateau = dataclasses.replace(
+                            self.plateau, **pl)
+                    if ts.get("rng") is not None:
+                        rng = jnp.asarray(
+                            np.asarray(ts["rng"], np.uint32))
         history = []
 
         from gotennet_tpu.data.prefetch import prefetch
 
-        for epoch in range(cfg.max_epochs):
+        for epoch in range(start_epoch, cfg.max_epochs):
+            # epoch-deterministic shuffling: resumed runs reproduce the
+            # uninterrupted run's batch order (≙ torch's set_epoch)
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
             t0 = time.time()
             train_losses = []
             for batch in prefetch(self._train_batches(train_loader)):
@@ -478,15 +552,30 @@ class Trainer:
             if cfg.scheduler == "plateau":
                 self.plateau = plateau_update(self.plateau, monitored, cfg.lr)
 
-            if val[monitor_ckpt] < best_ckpt:
+            improved_ckpt = val[monitor_ckpt] < best_ckpt
+            if improved_ckpt:
                 best_ckpt = val[monitor_ckpt]
-                self.save_checkpoint(params, opt_state, step, "best")
             if monitored < best_stop:
                 best_stop = monitored
                 bad_epochs = 0
             else:
                 bad_epochs += 1
-            self.save_checkpoint(params, opt_state, step, "last")
+            train_state = {
+                "epoch": epoch,
+                "best_stop": best_stop,
+                "best_ckpt": best_ckpt,
+                "bad_epochs": bad_epochs,
+                "ema": dict(self.ema),
+                "plateau": {"best": self.plateau.best,
+                            "num_bad": self.plateau.num_bad,
+                            "scale": self.plateau.scale},
+                "rng": np.asarray(jax.device_get(rng)).tolist(),
+            }
+            if improved_ckpt:
+                self.save_checkpoint(params, opt_state, step, "best",
+                                     train_state=train_state)
+            self.save_checkpoint(params, opt_state, step, "last",
+                                 train_state=train_state)
 
             if bad_epochs > cfg.early_stopping_patience:
                 break
@@ -494,16 +583,35 @@ class Trainer:
                 break
         return params, history
 
+    @staticmethod
+    def _local_rows(tree):
+        """This process's addressable rows of arrays sharded along the
+        leading (data) axis, concatenated in axis order.  On a single
+        process this is the whole array."""
+        def rows(x):
+            if hasattr(x, "addressable_shards"):
+                shards = sorted(
+                    x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+                return np.concatenate(
+                    [np.asarray(s.data) for s in shards], axis=0)
+            return np.asarray(x)
+        return jax.tree.map(rows, tree)
+
     def evaluate(self, params, loader: Iterable,
                  phase: str = "test") -> Dict[str, float]:
-        accs = {m["name"]: MetricAccumulator()
-                for m in self.task.get_metrics()}
+        metrics = self.task.get_metrics()
+        accs = {m["name"]: MetricAccumulator() for m in metrics}
         losses = []
 
         def consume(loss, preds):
             # per-batch stage EMA replaces the logged loss (reference
-            # calculate_loss, goten_model.py:479-497)
-            losses.append(self._stage_ema(phase, float(loss)))
+            # calculate_loss, goten_model.py:479-497); multi-host runs
+            # apply the EMA once to the globally-reduced epoch loss
+            # instead so every host monitors the same value
+            loss = float(loss)
+            losses.append(loss if self.n_proc > 1
+                          else self._stage_ema(phase, loss))
             for name, (p, t, m) in preds.items():
                 accs[name].update(np.asarray(p), np.asarray(t),
                                   np.asarray(m))
@@ -513,35 +621,72 @@ class Trainer:
                 loss, logs, preds = self._eval_step(params, batch)
                 consume(loss, preds)
         else:
-            dp = self.cfg.data_parallel
+            dp = self._dp_local
             for group in _grouped(iter(loader), dp):
-                if len(group) == dp:
-                    ls, _, ps = self._par_eval_step(
-                        params, self._stack_group(group))
-                    for i in range(dp):
-                        consume(ls[i],
-                                jax.tree.map(lambda x: x[i], ps))
-                else:  # trailing partial group: serial fallback
-                    for batch in group:
-                        loss, logs, preds = self._eval_step(params, batch)
-                        consume(loss, preds)
+                # pad a trailing partial group to the device count by
+                # repeating a real batch and discarding the duplicate
+                # results — one compiled eval shape per loader instead
+                # of a fresh _eval_step compile per odd-shaped tail
+                n_real = len(group)
+                if n_real < dp:
+                    group = group + [group[0]] * (dp - n_real)
+                ls, _, ps = self._par_eval_step(
+                    params, self._stack_group(group))
+                ls, ps = self._local_rows(ls), self._local_rows(ps)
+                for i in range(n_real):
+                    consume(ls[i], jax.tree.map(lambda x: x[i], ps))
+
+        def kind_of(m):
+            # tasks declare which statistic the metric reports; fall
+            # back to name-sniffing only for third-party tasks that
+            # predate the 'kind' field
+            return m.get("kind") or (
+                "mae" if "Absolute" in m["name"] else "mse")
+
+        if self.n_proc > 1:
+            # reduce the raw sums across hosts so every process
+            # computes identical metrics (and therefore identical
+            # plateau / early-stop / checkpoint decisions)
+            from jax.experimental import multihost_utils
+            parts = [float(np.sum(losses)), float(len(losses))]
+            for m in metrics:
+                a = accs[m["name"]]
+                parts += [a.abs_sum, a.sq_sum, a.count]
+            tot = np.asarray(multihost_utils.process_allgather(
+                np.asarray(parts, np.float64))).sum(axis=0)
+            val = tot[0] / max(tot[1], 1.0)
+            out = {"val_loss": self._stage_ema(phase, float(val))}
+            for j, m in enumerate(metrics):
+                a_sum, s_sum, cnt = tot[2 + 3 * j: 5 + 3 * j]
+                out[m["name"]] = float(
+                    (a_sum if kind_of(m) == "mae" else s_sum)
+                    / max(cnt, 1.0))
+            return out
+
         out = {"val_loss": float(np.mean(losses)) if losses else math.nan}
-        for name, acc in accs.items():
-            stats = acc.compute()
-            key = "mae" if "Absolute" in name else "mse"
-            out[name] = stats[key]
+        for m in metrics:
+            out[m["name"]] = accs[m["name"]].compute()[kind_of(m)]
         return out
 
     # ---- persistence ---------------------------------------------------
-    def save_checkpoint(self, params, opt_state, step: int,
-                        tag: str) -> None:
+    def save_checkpoint(self, params, opt_state, step: int, tag: str,
+                        train_state: Optional[Dict] = None) -> None:
         from gotennet_tpu.train.checkpoint import save_checkpoint
+        if self.n_proc > 1:
+            # params/opt_state are fully replicated (out_specs P()):
+            # pull host-local copies everywhere, write from rank 0 only
+            from gotennet_tpu.utils.logging import is_main_process
+            params = jax.device_get(params)
+            opt_state = jax.device_get(opt_state)
+            if not is_main_process():
+                return
         extra = {"task": getattr(self.task, "name", None),
                  "label": getattr(self.task, "label_name",
                                   getattr(self.task, "label", None))}
         save_checkpoint(os.path.join(self.cfg.workdir, f"ckpt_{tag}"),
                         params, step=step, model=self.model,
-                        extra_meta=extra)
+                        extra_meta=extra, opt_state=opt_state,
+                        train_state=train_state)
 
     def _log(self, record: Dict[str, Any]) -> None:
         self._logger.log(record)

@@ -153,4 +153,10 @@ def load_config(config_dir: str, root: str = "train.yaml",
                                            f"{exp}.yaml")))
     if rest:
         cfg = apply_overrides(cfg, rest)
-    return resolve(cfg)
+    cfg = resolve(cfg)
+    # record which dotted keys came from the CLI so consumers can tell
+    # an explicit override from a config-default value (cli.test uses
+    # this to give the checkpoint's label precedence over train.yaml's
+    # default, ≙ reference testing_pipeline.py:43-45)
+    cfg["_overrides"] = sorted(ov.partition("=")[0].strip() for ov in rest)
+    return cfg

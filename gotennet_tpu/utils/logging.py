@@ -68,8 +68,8 @@ class MetricLogger:
         self.workdir = workdir
         self._main = is_main_process()
         self._jsonl = None
-        self._csv = None
-        self._csv_cols = None
+        self._csv_enabled = False
+        self._csv_files: Dict[str, Any] = {}   # phase -> (file, columns)
         self._wandb = None
         self._tb = None
         if not self._main:
@@ -77,7 +77,7 @@ class MetricLogger:
         os.makedirs(workdir, exist_ok=True)
         self._jsonl = open(os.path.join(workdir, "metrics.jsonl"), "a")
         if backend == "csv":
-            self._csv = open(os.path.join(workdir, "metrics.csv"), "a")
+            self._csv_enabled = True
         elif backend == "wandb":
             try:
                 import wandb
@@ -102,13 +102,22 @@ class MetricLogger:
         self._jsonl.flush()
         step = int(rec.get("step", 0))
         phase = rec.get("phase", "misc")
-        if self._csv is not None:
-            if self._csv_cols is None:
-                self._csv_cols = sorted(rec)
-                self._csv.write(",".join(self._csv_cols) + "\n")
-            self._csv.write(",".join(
-                str(rec.get(c, "")) for c in self._csv_cols) + "\n")
-            self._csv.flush()
+        if self._csv_enabled:
+            # one CSV per phase: train records (loss, grad_norm) and
+            # val_epoch records (MAE, lr_scale, ...) have disjoint key
+            # sets, so a single shared header would silently drop
+            # whichever phase logs second (≙ reference CSVLogger's
+            # per-phase key sets)
+            entry = self._csv_files.get(phase)
+            if entry is None:
+                f = open(os.path.join(self.workdir,
+                                      f"metrics_{phase}.csv"), "a")
+                cols = sorted(rec)
+                f.write(",".join(cols) + "\n")
+                entry = self._csv_files[phase] = (f, cols)
+            f, cols = entry
+            f.write(",".join(str(rec.get(c, "")) for c in cols) + "\n")
+            f.flush()
         if self._wandb is not None:
             self._wandb.log(
                 {f"{phase}/{k}": v for k, v in rec.items()
@@ -121,9 +130,10 @@ class MetricLogger:
                     self._tb.add_scalar(f"{phase}/{k}", v, step)
 
     def close(self) -> None:
-        for h in (self._jsonl, self._csv):
-            if h is not None:
-                h.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
+        for f, _ in self._csv_files.values():
+            f.close()
         if self._tb is not None:
             self._tb.close()
         if self._wandb is not None:

@@ -146,3 +146,70 @@ def test_cli_test_uses_checkpoint_architecture(tmp_path):
     # label was inferred from the checkpoint, not defaulted
     meta = json.load(open(os.path.join(ckpt, "meta.json")))
     assert meta["label"] == "homo"
+
+
+def test_cli_test_label_precedence(tmp_path):
+    """The checkpoint's label beats train.yaml's default ("U0"), while
+    an explicit CLI label= override beats the checkpoint (regression:
+    `cfg.get("label") or meta.get("label")` always resolved to the
+    config default, so homo checkpoints evaluated against U0 targets)."""
+    from gotennet_tpu.cli import test as cli_test
+
+    cfg = load_config(CONFIG_DIR, "train.yaml",
+                      ["experiment=smoke", f"workdir={tmp_path}/run",
+                       "trainer.max_epochs=1", "label=homo"])
+    train(cfg)
+    ckpt = os.path.join(str(tmp_path), "run", "ckpt_best")
+
+    evaluated = []
+    import gotennet_tpu.cli as cli_mod
+    orig = cli_mod._build_data
+
+    def spy(cfg, label):
+        evaluated.append(label)
+        return orig(cfg, label)
+
+    cli_mod._build_data = spy
+    try:
+        # no CLI label: checkpoint's "homo" must win over train.yaml "U0"
+        tcfg = load_config(CONFIG_DIR, "train.yaml",
+                           ["experiment=smoke",
+                            f"workdir={tmp_path}/eval1",
+                            f"checkpoint={ckpt}"])
+        os.makedirs(tcfg["workdir"], exist_ok=True)
+        cli_test(tcfg)
+        assert evaluated[-1] == "homo"
+
+        # explicit CLI label: override wins over the checkpoint
+        tcfg = load_config(CONFIG_DIR, "train.yaml",
+                           ["experiment=smoke",
+                            f"workdir={tmp_path}/eval2",
+                            "label=lumo", f"checkpoint={ckpt}"])
+        os.makedirs(tcfg["workdir"], exist_ok=True)
+        cli_test(tcfg)
+        assert evaluated[-1] == "lumo"
+    finally:
+        cli_mod._build_data = orig
+
+
+def test_normalize_positions_centers_on_com(tmp_path):
+    """datamodule.normalize_positions subtracts the center of mass at
+    load time (reference datamodule.py:19-31) — previously an accepted
+    key implemented by nothing."""
+    from gotennet_tpu.cli import _build_data
+    from gotennet_tpu.models.heads import ATOMIC_MASSES
+
+    base = ["experiment=smoke", f"workdir={tmp_path}/run"]
+    cfg_off = load_config(CONFIG_DIR, "train.yaml", base)
+    cfg_on = load_config(CONFIG_DIR, "train.yaml",
+                         base + ["datamodule.normalize_positions=true"])
+    tr_off, *_ = _build_data(cfg_off, cfg_off["label"])
+    tr_on, *_ = _build_data(cfg_on, cfg_on["label"])
+    masses = np.asarray(ATOMIC_MASSES)
+    assert len(tr_on.ds.z) > 0
+    for z, p_on, p_off in zip(tr_on.ds.z, tr_on.ds.pos, tr_off.ds.pos):
+        w = masses[np.asarray(z)][:, None]
+        com_off = (w * p_off).sum(0) / w.sum()
+        np.testing.assert_allclose(p_on, p_off - com_off, atol=1e-5)
+        com_on = (w * p_on).sum(0) / w.sum()
+        np.testing.assert_allclose(com_on, 0.0, atol=1e-4)

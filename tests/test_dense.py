@@ -68,6 +68,37 @@ def test_dense_matches_edge_list(cfg):
         off += m
 
 
+def test_dense_neighbor_cap_matches_edge_list():
+    """Beyond-cap density: the dense layout's in-forward nearest-k cap
+    computes the same graph as the host edge builder (regression: the
+    dense layout silently ignored max_num_neighbors, so condensed-phase
+    systems with degree > cap diverged across layouts; the reference
+    caps per-node degree at 32, layers.py:1589-1590)."""
+    cfg = GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2,
+                         n_rbf=8, num_heads=4, max_num_neighbors=8)
+    rng = np.random.default_rng(3)
+    # 24 atoms in a tight cluster: every node's degree >> the cap of 8
+    graphs = [dict(z=rng.integers(1, 10, size=24),
+                   pos=rng.standard_normal((24, 3)) * 1.2, y=[0.0])]
+    eb = collate_graphs(graphs, 24, 512, 1, cutoff=cfg.cutoff,
+                        max_num_neighbors=8)
+    # sanity: the cap binds (24 real nodes, degree capped at 8 + loop)
+    n_edges = int(np.asarray(eb.edge_mask).sum())
+    assert n_edges == 24 * 9
+    db = collate_dense(graphs, 1, 24)
+
+    edge_model = GotenNet(cfg)
+    dense_model = GotenNetDense(cfg)
+    params = edge_model.init(jax.random.PRNGKey(0), eb,
+                             method=GotenNet.from_batch)
+    h_e, X_e = edge_model.apply(params, eb, method=GotenNet.from_batch)
+    h_d, X_d = dense_model.apply(params, db)
+    np.testing.assert_allclose(np.asarray(h_d)[0], np.asarray(h_e)[:24],
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(X_d)[0], np.asarray(X_e)[:24],
+                               rtol=2e-4, atol=2e-5)
+
+
 @pytest.mark.parametrize("cfg_kw", [
     dict(),
     dict(sep_dir=False, sep_tensor=False, scale_edge=True),

@@ -153,14 +153,58 @@ def test_resume_from_last_checkpoint(tmp_path):
     params = model.init(jax.random.PRNGKey(0), next(iter(loader)))
     params, _ = trainer.fit(params, loader, loader)
 
+    # resume continues the epoch counter: max_epochs is the TOTAL
     tcfg2 = TrainerConfig(**{**tcfg.__dict__, "resume": True,
-                             "max_epochs": 1})
+                             "max_epochs": 3})
     trainer2 = Trainer(model, task, tcfg2)
     fresh = model.init(jax.random.PRNGKey(99), next(iter(loader)))
     resumed, hist = trainer2.fit(fresh, loader, loader)
-    # resumed training starts from the saved params, not `fresh`:
-    # its first-epoch val loss should match continued training, far
-    # below a from-scratch epoch
+    # resumed training starts from the saved params, not `fresh`
     assert np.isfinite(hist[-1]["val_loss"])
+    assert [h["epoch"] for h in hist] == [2]
     # step counter resumed past the first run's steps
     assert hist[-1]["step"] > 3
+
+
+def test_full_state_resume_matches_uninterrupted(tmp_path):
+    """Kill-and-resume reproduces the uninterrupted run's trajectory:
+    optimizer moments, plateau/EMA state, epoch counter, RNG and batch
+    order all survive the checkpoint (≙ Lightning ckpt_path,
+    reference training_pipeline.py:44-50,132)."""
+    model, task, loader, tcfg = _setup(tmp_path)
+    base = {**tcfg.__dict__, "scheduler": "plateau", "ema_rate": 0.2,
+            "lr_patience": 0, "lr_decay": 0.5}
+    params0 = model.init(jax.random.PRNGKey(0), next(iter(loader)))
+
+    cfg_a = TrainerConfig(**{**base, "max_epochs": 4,
+                             "workdir": str(tmp_path / "A")})
+    params_a, hist_a = Trainer(model, task, cfg_a).fit(
+        params0, loader, loader)
+
+    cfg_b1 = TrainerConfig(**{**base, "max_epochs": 2,
+                              "workdir": str(tmp_path / "B")})
+    Trainer(model, task, cfg_b1).fit(params0, loader, loader)
+
+    # the saved checkpoint carries real optimizer moments
+    from gotennet_tpu.train.checkpoint import load_train_state
+    trainer_b = Trainer(model, task, TrainerConfig(
+        **{**base, "max_epochs": 4, "workdir": str(tmp_path / "B"),
+           "resume": True}))
+    template = trainer_b.tx.init(params0)
+    opt_restored, ts = load_train_state(
+        os.path.join(cfg_b1.workdir, "ckpt_last"), template)
+    assert opt_restored is not None
+    assert ts["epoch"] == 1
+    assert any(np.abs(np.asarray(leaf)).sum() > 0
+               for leaf in jax.tree.leaves(opt_restored))
+
+    params_b, hist_b = trainer_b.fit(params0, loader, loader)
+    assert [h["epoch"] for h in hist_b] == [2, 3]
+    for h_a, h_b in zip(hist_a[2:], hist_b):
+        np.testing.assert_allclose(h_a["val_loss"], h_b["val_loss"],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(h_a["lr_scale"], h_b["lr_scale"],
+                                   rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -146,15 +146,24 @@ def test_per_stage_loss_ema(tmp_path):
 
 
 def test_csv_logger_backend(tmp_path):
+    """CSV backend writes one file per phase so train and val_epoch
+    records (disjoint key sets) both keep all their columns."""
     from gotennet_tpu.utils.logging import make_logger
     lg = make_logger(str(tmp_path), "csv")
     lg.log({"phase": "train", "step": 1, "loss": 0.5})
+    lg.log({"phase": "val_epoch", "step": 1, "mae": 0.9, "lr_scale": 1.0})
     lg.log({"phase": "train", "step": 2, "loss": 0.25})
     lg.close()
-    csv_lines = open(os.path.join(str(tmp_path), "metrics.csv")).read() \
-        .strip().splitlines()
+    csv_lines = open(os.path.join(str(tmp_path), "metrics_train.csv")) \
+        .read().strip().splitlines()
     assert csv_lines[0] == "loss,phase,step"
     assert csv_lines[1] == "0.5,train,1"
+    assert csv_lines[2] == "0.25,train,2"
+    val_lines = open(os.path.join(str(tmp_path),
+                                  "metrics_val_epoch.csv")) \
+        .read().strip().splitlines()
+    assert val_lines[0] == "lr_scale,mae,phase,step"
+    assert val_lines[1] == "1.0,0.9,val_epoch,1"
     # JSONL mirror always written
     jl = [json.loads(l) for l in
           open(os.path.join(str(tmp_path), "metrics.jsonl"))]
