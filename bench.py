@@ -45,6 +45,63 @@ import time
 import numpy as np
 
 
+def _peak_flops(device) -> float:
+    """bf16 peak FLOP/s of the benched chip (BENCH_PEAK_TFLOPS
+    overrides)."""
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    kind = getattr(device, "device_kind", str(device)).lower()
+    if "v6" in kind:
+        return 918e12
+    if "v5 lite" in kind or "v5e" in kind or "lite" in kind:
+        return 394e12
+    if "v5" in kind:
+        return 459e12
+    if "v4" in kind:
+        return 275e12
+    return 394e12
+
+
+def analytic_train_flops(cfg, padded_pairs: int, padded_nodes: int) -> float:
+    """Matmul-dominated analytic FLOPs for ONE optimizer step of the
+    dense-layout model (backward counted as 2x forward, the standard
+    convention).  Counts the MXU work: pair filter projections
+    (W_re/W_rs — the dominant term), SDDMM, degree/tensor
+    j-aggregations, HTR pair products + gamma_t, node projections,
+    node/edge init, EQFF.  Elementwise chains, softmax, norms and the
+    optimizer are excluded, so the derived MFU is a LOWER bound on
+    true utilization (the roofline position of the executed padded
+    work; padding waste counts against it, as it should)."""
+    D = cfg.n_atom_basis
+    mult = cfg.multiplier
+    L = cfg.sh_dim
+    R = cfg.n_rbf
+    C = cfg.evec_dim or D
+    n = cfg.n_interactions
+    P, N = float(padded_pairs), float(padded_nodes)
+
+    fwd = 0.0
+    # node/edge init: W_ndp + W_erp pair projections, NodeInit MLP
+    fwd += 2 * P * R * D * 2
+    fwd += N * (2 * D * D + D * D) * 2
+    per_layer = 0.0
+    # pair: filter projections + SDDMM + combine + j-aggregations
+    per_layer += P * (D * D + D * mult * D) * 2
+    per_layer += P * D * 3
+    per_layer += P * mult * D * 4
+    per_layer += P * 2 * L * D * 2
+    # node: W_q, W_k, gamma_s (2-layer), gamma_v (2-layer)
+    per_layer += N * (2 * D * D + 2 * (D * D + D * mult * D)) * 2
+    # EQFF: W_vu over degrees + gamma_m MLP
+    per_layer += N * (L * D * D + 4 * D * D) * 2
+    # HTR (all but the last layer): EQ/EK projections, gamma_t,
+    # per-degree pair products
+    htr = N * 2 * L * D * C * 2 + P * D * D * 2 + P * L * C * 6
+    fwd += n * per_layer + (n - 1) * htr
+    return 3.0 * fwd
+
+
 def _rtt_seconds():
     """Median host<->device scalar readback round-trip."""
     import jax
@@ -296,34 +353,65 @@ def main():
     eb = next(iter(BatchLoader(ds, batch_size=batch_size, cutoff=cfg.cutoff)))
     real_edges = int(np.asarray(eb.edge_mask).sum())
     real_nodes = int(np.asarray(eb.node_mask).sum())
+    # size bucketing (dense layout): pad each accumulation chunk only
+    # to its own max molecule size (multiple of 8) instead of the
+    # global max — ~1.7x fewer padded pairs at QM9's 12-29-atom spread
+    # for a handful of compiled M shapes (BENCH_BUCKET=0 to disable)
+    bucket = (layout == "dense"
+              and os.environ.get(
+                  "BENCH_BUCKET", "1" if dataset == "qm9" else "0") == "1")
     if layout == "dense":
         # BENCH_MAX_ATOMS overrides the dense M padding (the fused
         # kernel i-tiles M into multiple-of-8 divisors; M=120 -> TI=24)
         ma = os.environ.get("BENCH_MAX_ATOMS")
         chunks = list(DenseLoader(ds, batch_size=chunk,
-                                  max_atoms=int(ma) if ma else None)
-                      )[:n_chunks]
-        example = chunks[0]
-        padded_pairs = int(n_chunks * example.num_graphs
-                           * example.max_atoms ** 2)
+                                  max_atoms=int(ma) if ma else None,
+                                  bucket=bucket,
+                                  bucket_window=n_chunks))[:n_chunks]
+        padded_pairs = int(sum(c.num_graphs * c.max_atoms ** 2
+                               for c in chunks))
+        padded_nodes = int(sum(c.num_graphs * c.max_atoms
+                               for c in chunks))
+        example = max(chunks, key=lambda c: c.max_atoms)
     elif layout == "ell":
+        # windowed one-hot gathers (spatially sorted atoms) replace
+        # XLA's pathological [N, K] row gathers; default on for the
+        # 10^3-atom mode (BENCH_SPATIAL=0 / BENCH_BLOCK_ROWS override)
+        spatial = os.environ.get(
+            "BENCH_SPATIAL", "1" if dataset == "large" else "0") == "1"
+        br = (int(os.environ.get("BENCH_BLOCK_ROWS", "64"))
+              if spatial else None)
         chunks = list(ELLLoader(ds, batch_size=chunk, cutoff=cfg.cutoff,
-                                neighbor_probe="full"))[:n_chunks]
+                                neighbor_probe="full",
+                                spatial_sort=spatial,
+                                block_rows=br))[:n_chunks]
         example = chunks[0]
         padded_pairs = int(n_chunks * example.num_nodes
                            * example.max_neighbors)
+        padded_nodes = int(n_chunks * example.num_nodes)
     else:
         chunks = list(BatchLoader(ds, batch_size=chunk,
                                   cutoff=cfg.cutoff))[:n_chunks]
         example = chunks[0]
         padded_pairs = int(n_chunks * example.num_edges)
-    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *chunks) \
-        if n_chunks > 1 else chunks[0]
+        padded_nodes = int(n_chunks * example.num_nodes)
+    # group same-shape chunks into stacks: the jitted step scans each
+    # stack (bucketing yields one stack per M; unbucketed = one stack)
+    groups = {}
+    for c in chunks:
+        # key includes the treedef: static metadata (ELL gather
+        # windows) must match within a stack, not just leaf shapes
+        key = (jax.tree.structure(c),
+               tuple(tuple(x.shape) for x in jax.tree.leaves(c)))
+        groups.setdefault(key, []).append(c)
+    stacks = tuple(jax.tree.map(lambda *xs: jnp.stack(xs), *g)
+                   for g in groups.values())
 
     vmem_kib = os.environ.get("BENCH_VMEM_KIB",
                               "98304" if dataset == "md22" else "65536")
+    on_tpu = jax.default_backend() == "tpu"
     init_copts = ({"xla_tpu_scoped_vmem_limit_kib": vmem_kib}
-                  if fused else None)
+                  if (fused and on_tpu) else None)
     params = jax.jit(model.init, compiler_options=init_copts)(
         jax.random.PRNGKey(0), example)
     loss_fn = make_loss_fn(model, task)
@@ -339,14 +427,19 @@ def main():
             rng = jax.random.fold_in(jax.random.PRNGKey(1), i)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             if n_chunks == 1:
-                (loss, _), grads = grad_fn(params, batch, rng, False)
+                (loss, _), grads = grad_fn(params, chunks[0], rng, False)
+                loss = jnp.float32(loss)
             else:
                 def accum(acc, b):
                     g_acc, l_acc = acc
                     (l, _), g = grad_fn(params, b, rng, False)
                     return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
-                zero = jax.tree.map(jnp.zeros_like, params)
-                (g_sum, l_sum), _ = jax.lax.scan(accum, (zero, 0.0), batch)
+                carry_g = (jax.tree.map(jnp.zeros_like, params),
+                           jnp.float32(0.0))
+                # one scan per same-shape stack (bucketing: one per M)
+                for stack in stacks:
+                    carry_g, _ = jax.lax.scan(accum, carry_g, stack)
+                g_sum, l_sum = carry_g
                 grads = jax.tree.map(lambda x: x / n_chunks, g_sum)
                 loss = l_sum / n_chunks
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -356,7 +449,7 @@ def main():
         # the fused Pallas VJP's working set exceeds the 16M default
         # scoped-vmem limit at flagship shapes; v5e has 128M VMEM
         copts = ({"xla_tpu_scoped_vmem_limit_kib": vmem_kib}
-                 if fused else None)
+                 if (fused and on_tpu) else None)
 
         @functools.partial(jax.jit, compiler_options=copts)
         def run(params, opt_state):
@@ -375,7 +468,7 @@ def main():
             # tie each iteration to the carry so XLA cannot hoist the
             # loop-invariant forward out of the scan
             if n_chunks == 1:
-                b = batch.replace(pos=batch.pos + carry * 1e-20)
+                b = chunks[0].replace(pos=chunks[0].pos + carry * 1e-20)
                 loss, _ = loss_fn(params, b, None, True)
                 return carry + loss, None
 
@@ -383,7 +476,9 @@ def main():
                 b = ch.replace(pos=ch.pos + acc * 1e-20)
                 l, _ = loss_fn(params, b, None, True)
                 return acc + l, None
-            total, _ = jax.lax.scan(body, carry, batch)
+            total = carry
+            for stack in stacks:
+                total, _ = jax.lax.scan(body, total, stack)
             return total, None
 
         @jax.jit
@@ -400,7 +495,7 @@ def main():
         dt = max(time.time() - t0 - rtt, 1e-9) / n_steps
 
     edges_per_s = real_edges / dt
-    print(json.dumps({
+    record = {
         "metric": "edges_per_s_per_chip",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
@@ -415,11 +510,20 @@ def main():
         "dataset": dataset,
         "accum_chunks": n_chunks,
         "padded_edges": padded_pairs,
+        "bucketed": bucket,
         "step_ms": round(dt * 1e3, 3),
         "rtt_ms": round(rtt * 1e3, 1),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if layout == "dense" and mode == "train":
+        # auditable roofline position: analytic matmul FLOPs of the
+        # executed (padded) step over the chip's bf16 peak
+        flops = analytic_train_flops(cfg, padded_pairs, padded_nodes)
+        peak = _peak_flops(jax.devices()[0])
+        record["mfu"] = round(flops / dt / peak, 4)
+        record["analytic_tflops_per_step"] = round(flops / 1e12, 3)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -100,7 +100,8 @@ def _build_data(cfg: Dict, label: str):
     elif layout == "dense":
         from gotennet_tpu.data.dataset import DenseLoader
         max_atoms = max((len(z) for z in ds.z), default=8)
-        mk = dict(max_atoms=((max_atoms + 7) // 8) * 8)
+        mk = dict(max_atoms=((max_atoms + 7) // 8) * 8,
+                  bucket=dm.get("bucket", False))
         train_loader = DenseLoader(ds.subset(idx_train), dm["batch_size"],
                                    shuffle=True, seed=dm.get("seed", 1),
                                    **mk)
@@ -160,7 +161,7 @@ _DATAMODULE_KEYS = {
     "standardize", "train_size", "val_size", "test_size", "splits",
     "seed", "max_num_neighbors", "prior_model", "normalize_positions",
     "n_molecules", "with_forces", "max_frames", "neighbor_probe",
-    "max_molecules",
+    "max_molecules", "bucket",
 }
 
 
@@ -392,7 +393,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         # grid: comma-separated values expand to a cartesian product.
         # random search: sampler=random n_trials=N plus distribution
         # expressions (loguniform/uniform/int/choice) in the overrides.
-        from gotennet_tpu.utils.sweep import run_random_search, run_sweep
+        # adaptive: sampler=adaptive — sequential TPE-style density-
+        # ratio sampling (≙ reference Optuna sweeper).
+        from gotennet_tpu.utils.sweep import (
+            run_adaptive_search,
+            run_random_search,
+            run_sweep,
+        )
         meta = {"sampler": "grid", "n_trials": "8", "seed": "0",
                 "metric": "MeanAbsoluteError",
                 "sweep_dir": "runs/sweep"}
@@ -410,6 +417,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                               seed=int(meta["seed"]),
                               sweep_dir=meta["sweep_dir"],
                               metric=meta["metric"])
+        elif meta["sampler"] == "adaptive":
+            run_adaptive_search(train, load, trial_ovs,
+                                n_trials=int(meta["n_trials"]),
+                                seed=int(meta["seed"]),
+                                sweep_dir=meta["sweep_dir"],
+                                metric=meta["metric"])
         else:
             run_sweep(train, load, trial_ovs,
                       sweep_dir=meta["sweep_dir"], metric=meta["metric"])

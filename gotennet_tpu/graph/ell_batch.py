@@ -44,6 +44,13 @@ class ELLBatch:
         nbr_mask: ``[N, K] bool`` true for real edges.
         node_mask: ``[N] bool``; graph_mask: ``[G] bool``.
         y: ``[G, T]`` targets; dy: optional ``[N, 3]`` forces.
+        gather_window / block_rows: static (non-pytree) metadata for
+            the windowed one-hot gather path: with spatially-ordered
+            nodes, every neighbor index of a ``block_rows``-row node
+            block provably lies in a ``gather_window``-wide index
+            window, so the model replaces ``x[nbr]`` row gathers
+            (pathological on TPU) with block-banded one-hot matmuls.
+            ``None`` selects the plain-take path.
     """
 
     z: jnp.ndarray
@@ -55,6 +62,10 @@ class ELLBatch:
     graph_mask: jnp.ndarray
     y: jnp.ndarray
     dy: Optional[jnp.ndarray] = None
+    gather_window: Optional[int] = struct.field(
+        pytree_node=False, default=None)
+    block_rows: Optional[int] = struct.field(
+        pytree_node=False, default=None)
 
     @property
     def num_nodes(self) -> int:
@@ -79,6 +90,8 @@ def collate_ell(
     max_num_neighbors: int = 32,
     y_dim: int = 1,
     with_forces: bool = False,
+    block_rows: Optional[int] = None,
+    spatial_sort: bool = False,
 ) -> ELLBatch:
     """Pack molecules into one fixed-capacity ``ELLBatch``.
 
@@ -108,6 +121,16 @@ def collate_ell(
     for g_idx, g in enumerate(graphs):
         gz = np.asarray(g["z"], np.int32)
         gpos = np.asarray(g["pos"], np.float32)
+        gdy = g.get("dy")
+        if spatial_sort:
+            # cell-lexicographic atom order bounds each node block's
+            # neighbor-index window (see ELLBatch.gather_window)
+            from gotennet_tpu.graph.neighborlist import spatial_order
+            perm = spatial_order(gpos, cutoff)
+            gz, gpos = gz[perm], gpos[perm]
+            if gdy is not None:
+                gdy = np.asarray(gdy, np.float32)[perm]
+            g = dict(g, dy=gdy)
         m = gz.shape[0]
         if n_off + m > num_nodes:
             raise ValueError("node capacity exceeded")
@@ -133,6 +156,21 @@ def collate_ell(
             dy[n_off:n_off + m] = np.asarray(g["dy"], np.float32)
         n_off += m
 
+    gather_window = None
+    if block_rows:
+        if num_nodes % block_rows:
+            raise ValueError(
+                f"num_nodes ({num_nodes}) must be a multiple of "
+                f"block_rows ({block_rows}) for windowed gathers")
+        # exact per-block index spans -> one static window width,
+        # rounded to the 128-lane contraction tile.  Guaranteed bound:
+        # the model re-derives each block's start as min(nbr) over the
+        # block, so max(nbr) <= start + gather_window - 1 by
+        # construction here.
+        nb = nbr.reshape(num_nodes // block_rows, -1)
+        width = int((nb.max(axis=1) - nb.min(axis=1) + 1).max())
+        gather_window = min(num_nodes, -(-width // 128) * 128)
+
     return ELLBatch(
         z=jnp.asarray(z), pos=jnp.asarray(pos),
         node_graph=jnp.asarray(node_graph),
@@ -141,6 +179,8 @@ def collate_ell(
         graph_mask=jnp.asarray(graph_mask),
         y=jnp.asarray(y),
         dy=jnp.asarray(dy) if dy is not None else None,
+        gather_window=gather_window,
+        block_rows=block_rows if gather_window else None,
     )
 
 

@@ -28,7 +28,26 @@ import numpy as np
 
 from gotennet_tpu.graph.batch import GraphBatch
 
-__all__ = ["build_edges_np", "collate_graphs", "radius_graph_jax"]
+__all__ = ["build_edges_np", "collate_graphs", "radius_graph_jax",
+           "spatial_order"]
+
+
+def spatial_order(pos: np.ndarray, cell: float) -> np.ndarray:
+    """Permutation sorting atoms by spatial cell (lexicographic grid
+    order, cells of side ``cell`` — use the neighbor cutoff).
+
+    Spatially-ordered atoms make the neighbor-index matrix *banded*:
+    every neighbor of a node lies within a bounded index window, which
+    is what lets the ELL layout's windowed one-hot gathers read a
+    [W, F] slab instead of the whole [N, F] feature table (the
+    10^3-atom path; see models/gotennet_ell.py).  Order within a cell
+    is by original index (stable)."""
+    p = np.asarray(pos, np.float64)
+    c = np.floor((p - p.min(axis=0, keepdims=True)) / max(cell, 1e-6))
+    c = c.astype(np.int64)
+    # lexicographic cell key; stable sort keeps in-cell order
+    key = (c[:, 0], c[:, 1], c[:, 2])
+    return np.lexsort((np.arange(len(p)), key[2], key[1], key[0]))
 
 
 def build_edges_np(

@@ -52,6 +52,63 @@ _NEG = -1e30
 _SOFTMAX_EPS = 1e-16  # PyG softmax denominator guard, for path parity
 
 
+def _window_gather_meta(nbr, window: int, block_rows: int):
+    """Precompute the windowed-gather operands (a pytree, so it can
+    cross flax.remat boundaries as a call argument): per-block window
+    starts and the [NB, TB*K, window] one-hot selector.
+
+    The window bound is guaranteed by the collator: it computed
+    ``window`` as the max over blocks of (max(nbr) - min(nbr) + 1)
+    and this derives each block's start as min(nbr)."""
+    N, K = nbr.shape
+    nb_blocks = N // block_rows
+    nb = nbr.reshape(nb_blocks, block_rows * K)
+    ws = jnp.clip(jnp.min(nb, axis=1), 0, max(N - window, 0))
+    rel = nb - ws[:, None]
+    onehot = rel[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, (nb_blocks, block_rows * K, window), 2)
+    return onehot, ws
+
+
+def _gather_fn(nbr, gmeta, dtype):
+    """Neighbor lookup ``gather(x [N, F...]) -> [N, K, F...]``.
+
+    With ``gmeta=None``: plain row gather (``x[nbr]``).  With window
+    metadata: block-banded one-hot matmuls — XLA lowers [N, K] row
+    gathers catastrophically on TPU (the measured ELL-at-10^3-atoms
+    regression, PERF.md), but with spatially-ordered nodes every
+    neighbor index of a block lies in a bounded window, so each block
+    reads one contiguous ``[window, F]`` slab (vmapped dynamic_slice —
+    a handful of block copies) and selects rows with a one-hot matmul
+    on the MXU.  The backward is the transposed matmul: scatter-free
+    source-gradient aggregation.  Exact in float32 (one-hot
+    selection); ``dtype=bf16`` rounds the gathered values like every
+    other pair tensor."""
+    if gmeta is None:
+        def take(x, gdtype=None):
+            return x[nbr]
+        return take
+
+    onehot, ws = gmeta
+    N, K = nbr.shape
+    window = onehot.shape[-1]
+
+    def gather(x, gdtype=None):
+        gd = dtype if gdtype is None else gdtype
+        feat = x.shape[1:]
+        xf = x.reshape(N, -1)
+        xw = jax.vmap(lambda s: jax.lax.dynamic_slice(
+            xf, (s, 0), (window, xf.shape[1])))(ws)  # [NB, W, F]
+        out = jax.lax.dot_general(
+            onehot.astype(gd), xw.astype(gd),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # [NB, TB*K, F]
+        if x.dtype != out.dtype:
+            out = out.astype(x.dtype)
+        return out.reshape(N, K, *feat)
+    return gather
+
+
 def _aggr_k(aggr: str, data, mask):
     """Masked reduction over the K (axis=1) neighbor axis with the
     reference's empty-segment convention (zeros)."""
@@ -77,8 +134,10 @@ class NodeInitELL(fnn.Module):
     cfg: GotenNetConfig
 
     @fnn.compact
-    def __call__(self, z, h, nbr, dist, phi, nonloop) -> jnp.ndarray:
+    def __call__(self, z, h, nbr, dist, phi, nonloop,
+                 gmeta=None) -> jnp.ndarray:
         cfg = self.cfg
+        gth = _gather_fn(nbr, gmeta, cfg.pair_dtype)
         act = get_activation(cfg.activation)
         d = cfg.n_atom_basis
         a_nbr = self.param("A_nbr", jax.nn.initializers.normal(1.0),
@@ -86,7 +145,7 @@ class NodeInitELL(fnn.Module):
         env = cosine_cutoff(dist, cfg.cutoff)  # [N, K]
         r_feat = Dense(d, activation=None, weight_init=cfg.weight_init,
                        bias_init=cfg.bias_init, name="W_ndp")(phi)
-        msg = a_nbr[z][nbr] * r_feat * env[..., None]  # [N, K, D]
+        msg = gth(a_nbr[z]) * r_feat * env[..., None]  # [N, K, D]
         m_i = jnp.sum(msg * nonloop[..., None], axis=1)
         fused = jnp.concatenate([h, m_i], axis=-1)
         return MLP([2 * d, d, d], activation=act, last_activation=None,
@@ -102,8 +161,10 @@ class GATAELL(fnn.Module):
     deterministic: bool = True
 
     @fnn.compact
-    def __call__(self, h, X, t_ij, rl_ij, dist, nbr, nbr_mask, n_edges):
+    def __call__(self, h, X, t_ij, rl_ij, dist, nbr, nbr_mask, n_edges,
+                 gmeta=None):
         cfg = self.cfg
+        gth = _gather_fn(nbr, gmeta, cfg.pair_dtype)
         act = get_activation(cfg.activation)
         D = cfg.n_atom_basis
         H = cfg.num_heads
@@ -130,13 +191,62 @@ class GATAELL(fnn.Module):
         v = Dense(D, activation=act, **dense_kw, name="gamma_v_0")(h)
         v = Dense(mult * D, activation=None, **dense_kw, name="gamma_v_1")(v)
 
+        if (cfg.fused and cfg.aggr == "add"
+                and cfg.activation in ("swish", "silu")):
+            # one Pallas kernel: W_re/W_rs projections + SDDMM + masked
+            # softmax over K + spatial path + degree aggregation; node
+            # tables VMEM-resident, neighbor lookups as in-kernel
+            # one-hot matmuls (ops/pallas/fused_ell.py), analytic VJP
+            from gotennet_tpu.models.gotennet_dense import _LinearParams
+            from gotennet_tpu.ops.pallas.fused_ell import make_fused_ell
+            wre_k, wre_b = _LinearParams(D, D, cfg.weight_init,
+                                         cfg.bias_init, name="W_re")()
+            wrs_k, wrs_b = _LinearParams(mult * D, D, cfg.weight_init,
+                                         cfg.bias_init, name="W_rs")()
+            env_signed = jnp.where(nbr_mask,
+                                   cosine_cutoff(dist, cfg.cutoff), -1.0)
+            if cfg.scale_edge:
+                scale = jnp.sqrt(n_edges) / math.sqrt(D)
+            else:
+                scale = jnp.full_like(dist, 1.0 / math.sqrt(D))
+            if cfg.attn_dropout > 0.0 and not self.deterministic:
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - cfg.attn_dropout,
+                    (N, K, H))
+                scale = (scale[..., None] * keep.astype(scale.dtype)
+                         / (1.0 - cfg.attn_dropout))
+            fused_fn = make_fused_ell(
+                cfg.lmax, H, cfg.sep_dir, cfg.sep_tensor,
+                interpret=jax.default_backend() != "tpu",
+                pair_dtype=cfg.pair_dtype)
+            d_h, dX_agg = fused_fn(t_ij, q, k, x_g, v, rl_ij, X,
+                                   env_signed, scale, nbr,
+                                   wre_k, wre_b, wrs_k, wrs_b)
+            h = h + d_h
+            X = X + dX_agg
+        else:
+            h, X = self._unfused_message(
+                cfg, act, h, X, t_ij, rl_ij, dist, nbr, nbr_mask,
+                n_edges, q, k, x_g, v, gth, N, K, D, H, Dh, mult,
+                dense_kw)
+
+        # ---- HTR edge update ---------------------------------------
+        return self._edge_update(cfg, act, h, X, t_ij, rl_ij, gth,
+                                 info, evec_dim, emlp_dim, N, K,
+                                 dense_kw)
+
+    def _unfused_message(self, cfg, act, h, X, t_ij, rl_ij, dist, nbr,
+                         nbr_mask, n_edges, q, k, x_g, v, gth, N, K, D,
+                         H, Dh, mult, dense_kw):
+        """XLA message+aggregate (any aggr/activation; the oracle for
+        the fused kernel)."""
         t_attn = Dense(D, activation=act, **dense_kw, name="W_re")(t_ij)
         t_filter = Dense(mult * D, activation=None, **dense_kw,
                          name="W_rs")(t_ij)  # [N, K, mult*D]
 
         # ---- attention: SDDMM logits + masked softmax over K ---------
         logit = jnp.sum(
-            q.reshape(N, 1, H, Dh) * k[nbr].reshape(N, K, H, Dh)
+            q.reshape(N, 1, H, Dh) * gth(k).reshape(N, K, H, Dh)
             * t_attn.reshape(N, K, H, Dh), axis=-1)  # [N, K, H]
         logit = jnp.where(nbr_mask[..., None], logit, _NEG)
         lmaxv = jax.lax.stop_gradient(
@@ -151,9 +261,10 @@ class GATAELL(fnn.Module):
             attn = fnn.Dropout(cfg.attn_dropout, name="attn_dropout")(
                 attn, deterministic=self.deterministic)
 
-        sea = (attn[..., None] * v[nbr].reshape(N, K, H, (mult * D) // H))
+        sea = (attn[..., None]
+               * gth(v).reshape(N, K, H, (mult * D) // H))
         sea = sea.reshape(N, K, mult * D)
-        spatial = (t_filter * x_g[nbr]
+        spatial = (t_filter * gth(x_g)
                    * cosine_cutoff(dist, cfg.cutoff)[..., None])
         o = spatial + sea  # [N, K, mult*D]
 
@@ -162,7 +273,7 @@ class GATAELL(fnn.Module):
         rest = chunks[1:]
         deg_map = jnp.asarray(degree_index_map(cfg.lmax), jnp.int32) - 1
 
-        X_j = X[nbr]  # [N, K, L, D]
+        X_j = gth(X)  # [N, K, L, D]
         if cfg.sep_dir:
             o_d = jnp.stack(rest[:cfg.lmax], axis=2)  # [N, K, lmax, D]
             rest = rest[cfg.lmax:]
@@ -180,74 +291,79 @@ class GATAELL(fnn.Module):
         # ---- aggregate over K -----------------------------------------
         h = h + _aggr_k(cfg.aggr, o_s, nbr_mask)
         X = X + _aggr_k(cfg.aggr, dX, nbr_mask)
+        return h, X
 
-        # ---- HTR edge update -------------------------------------------
-        if not self.last_layer and cfg.edge_updates:
-            EQ = Dense(evec_dim, use_bias=False, activation=None,
-                       **dense_kw, name="W_vq")(X)  # [N, L, C]
-            if cfg.sep_htr:
-                blocks = []
-                for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
-                    blocks.append(Dense(
-                        evec_dim, use_bias=False, activation=None,
-                        **dense_kw, name=f"W_vk_{l}")(X[:, lo:hi, :]))
-                EK = jnp.concatenate(blocks, axis=1)
-            else:
-                EK = Dense(evec_dim, use_bias=False, activation=None,
-                           **dense_kw, name="W_vk")(X)
+    def _edge_update(self, cfg, act, h, X, t_ij, rl_ij, gth, info,
+                     evec_dim, emlp_dim, N, K, dense_kw):
+        """HTR edge update (skipped on the last layer, reference
+        gotennet.py:874)."""
+        if self.last_layer or not cfg.edge_updates:
+            return h, X, t_ij
+        D = cfg.n_atom_basis
+        EQ = Dense(evec_dim, use_bias=False, activation=None,
+                   **dense_kw, name="W_vq")(X)  # [N, L, C]
+        if cfg.sep_htr:
+            blocks = []
+            for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
+                blocks.append(Dense(
+                    evec_dim, use_bias=False, activation=None,
+                    **dense_kw, name=f"W_vk_{l}")(X[:, lo:hi, :]))
+            EK = jnp.concatenate(blocks, axis=1)
+        else:
+            EK = Dense(evec_dim, use_bias=False, activation=None,
+                       **dense_kw, name="W_vk")(X)
 
-            EQ_i = EQ[:, None]   # [N, 1, L, C] (center = row)
-            EK_j = EK[nbr]       # [N, K, L, C]
+        EQ_i = EQ[:, None]   # [N, 1, L, C] (center = row)
+        EK_j = gth(EK)       # [N, K, L, C]
 
-            def reject(rep, r):
-                proj = jnp.sum(rep * r[..., None], axis=2, keepdims=True)
-                return rep - proj * r[..., None]
+        def reject(rep, r):
+            proj = jnp.sum(rep * r[..., None], axis=2, keepdims=True)
+            return rep - proj * r[..., None]
 
-            if cfg.sep_htr:
-                w_ij = jnp.zeros((N, K, evec_dim), o.dtype)
-                for lo, hi in degree_slices(cfg.lmax):
-                    eq_l = EQ_i[:, :, lo:hi]
-                    ek_l = EK_j[:, :, lo:hi]
-                    r_l = rl_ij[:, :, lo:hi]
-                    if info["rej"]:
-                        eq_l = reject(eq_l, r_l)
-                        ek_l = reject(ek_l, -r_l)
-                    w_ij = w_ij + jnp.sum(eq_l * ek_l, axis=2)
-            elif not info["rej"]:
-                w_ij = jnp.sum(EQ_i * EK_j, axis=2)
-            else:
-                w_ij = jnp.sum(
-                    reject(jnp.broadcast_to(EQ_i, EK_j.shape), rl_ij)
-                    * reject(EK_j, -rl_ij), axis=2)
+        if cfg.sep_htr:
+            w_ij = jnp.zeros((N, K, evec_dim), h.dtype)
+            for lo, hi in degree_slices(cfg.lmax):
+                eq_l = EQ_i[:, :, lo:hi]
+                ek_l = EK_j[:, :, lo:hi]
+                r_l = rl_ij[:, :, lo:hi]
+                if info["rej"]:
+                    eq_l = reject(eq_l, r_l)
+                    ek_l = reject(ek_l, -r_l)
+                w_ij = w_ij + jnp.sum(eq_l * ek_l, axis=2)
+        elif not info["rej"]:
+            w_ij = jnp.sum(EQ_i * EK_j, axis=2)
+        else:
+            w_ij = jnp.sum(
+                reject(jnp.broadcast_to(EQ_i, EK_j.shape), rl_ij)
+                * reject(EK_j, -rl_ij), axis=2)
 
-            if info["mlp"] or info["mlpa"]:
-                gamma_t = MLP(
-                    [D, emlp_dim, D], activation=act,
-                    last_activation=None if info["mlp"] else act,
-                    norm=cfg.edge_ln, **dense_kw, name="gamma_t")
-            else:
-                gamma_t = MLP([D, D], activation=act, last_activation=act,
-                              norm=cfg.edge_ln, **dense_kw, name="gamma_t")
-            gt = gamma_t(t_ij)
+        if info["mlp"] or info["mlpa"]:
+            gamma_t = MLP(
+                [D, emlp_dim, D], activation=act,
+                last_activation=None if info["mlp"] else act,
+                norm=cfg.edge_ln, **dense_kw, name="gamma_t")
+        else:
+            gamma_t = MLP([D, D], activation=act, last_activation=act,
+                          norm=cfg.edge_ln, **dense_kw, name="gamma_t")
+        gt = gamma_t(t_ij)
 
-            gw = w_ij
-            if info["lin_w"] > 0:
-                if info["lin_ln"] == 1:
-                    gw = fnn.LayerNorm(epsilon=1e-5, name="gamma_w_ln")(gw)
-                if info["lin_w"] % 10 == 2:
-                    gw = act(gw)
-                gw = Dense(D, activation=None,
-                           norm="layer" if info["lin_ln"] == 2 else "",
-                           **dense_kw, name="W_edp")(gw)
-            if info["gated"] == "gatedt":
-                gw = jnp.tanh(gw)
-            elif info["gated"] == "gated":
-                gw = jax.nn.sigmoid(gw)
-            elif info["gated"] == "act":
-                gw = jax.nn.silu(gw)
+        gw = w_ij
+        if info["lin_w"] > 0:
+            if info["lin_ln"] == 1:
+                gw = fnn.LayerNorm(epsilon=1e-5, name="gamma_w_ln")(gw)
+            if info["lin_w"] % 10 == 2:
+                gw = act(gw)
+            gw = Dense(D, activation=None,
+                       norm="layer" if info["lin_ln"] == 2 else "",
+                       **dense_kw, name="W_edp")(gw)
+        if info["gated"] == "gatedt":
+            gw = jnp.tanh(gw)
+        elif info["gated"] == "gated":
+            gw = jax.nn.sigmoid(gw)
+        elif info["gated"] == "act":
+            gw = jax.nn.silu(gw)
 
-            t_ij = t_ij + gt * gw
-
+        t_ij = t_ij + gt * gw
         return h, X, t_ij
 
 
@@ -265,9 +381,18 @@ class GotenNetELL(fnn.Module):
         N, K = nbr.shape
         D = cfg.n_atom_basis
 
+        # neighbor lookups: windowed one-hot matmuls when the batch
+        # carries window metadata (the 10^3-atom path), else plain take
+        gmeta = None
+        if batch.gather_window and batch.block_rows:
+            gmeta = _window_gather_meta(nbr, batch.gather_window,
+                                        batch.block_rows)
+        gth = _gather_fn(nbr, gmeta, cfg.pair_dtype)
+
         # neighbor geometry (src − dst convention, reference
-        # layers.py:1589-1600: self-loop distance pinned to 0)
-        vec = pos[nbr] - pos[:, None, :]  # [N, K, 3]
+        # layers.py:1589-1600: self-loop distance pinned to 0);
+        # positions gather in f32 — geometry must stay exact
+        vec = gth(pos, jnp.float32) - pos[:, None, :]  # [N, K, 3]
         self_idx = jnp.arange(N, dtype=nbr.dtype)[:, None]
         nonloop = nm & (nbr != self_idx)
         d2 = jnp.sum(vec ** 2, axis=-1)
@@ -286,14 +411,14 @@ class GotenNetELL(fnn.Module):
         phi = rbf_fn(dist, rbf_params)  # [N, K, R]
 
         h = NodeInitELL(cfg, name="node_init")(z, h, nbr, dist, phi,
-                                               nonloop)
-        t_ij = EdgeInitELL(cfg, name="edge_init")(phi, h, nbr)
+                                               nonloop, gmeta=gmeta)
+        t_ij = EdgeInitELL(cfg, name="edge_init")(phi, h, nbr, gmeta=gmeta)
 
         # per-source real-edge counts (reference gotennet.py:986-989);
         # the one remaining scatter — [N*K] scalars, negligible
         counts = segment_sum(nm.reshape(-1).astype(h.dtype),
                              nbr.reshape(-1), N)
-        n_edges = counts[nbr]  # [N, K]
+        n_edges = gth(counts[:, None], jnp.float32)[..., 0]  # [N, K]
 
         X = jnp.zeros((N, cfg.sh_dim, D), h.dtype)
         gata_cls = fnn.remat(GATAELL) if cfg.remat else GATAELL
@@ -301,7 +426,7 @@ class GotenNetELL(fnn.Module):
             h, X, t_ij = gata_cls(
                 cfg, last_layer=(i == cfg.n_interactions - 1),
                 deterministic=deterministic, name=f"gata_{i}")(
-                    h, X, t_ij, rl_ij, dist, nbr, nm, n_edges)
+                    h, X, t_ij, rl_ij, dist, nbr, nm, n_edges, gmeta)
             h, X = EQFF(cfg, name=f"eqff_{i}")(h, X)
 
         return h, X
@@ -313,8 +438,9 @@ class EdgeInitELL(fnn.Module):
     cfg: GotenNetConfig
 
     @fnn.compact
-    def __call__(self, phi, h, nbr) -> jnp.ndarray:
+    def __call__(self, phi, h, nbr, gmeta=None) -> jnp.ndarray:
+        gth = _gather_fn(nbr, gmeta, self.cfg.pair_dtype)
         w = Dense(self.cfg.n_atom_basis, activation=None,
                   weight_init="xavier_uniform", bias_init="zeros",
                   name="W_erp")(phi)  # [N, K, D]
-        return (h[:, None, :] + h[nbr]) * w
+        return (h[:, None, :] + gth(h)) * w

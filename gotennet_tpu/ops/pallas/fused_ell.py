@@ -1,0 +1,568 @@
+"""Fused Pallas GATA message+aggregate kernel for the ELL layout.
+
+The 10^3-atom companion of ``fused_gata`` (dense layout): one kernel
+fuses the filter projections (W_re/W_rs), SDDMM attention logits, the
+exact masked softmax over each node's K neighbor slots, the spatial
+path, and the degree-wise steerable aggregation — with the
+``[TB*K, mult*D]`` pair tensors living only in VMEM.  Reference math:
+/root/reference/gotennet/models/representation/gotennet.py:452-657.
+
+What is different from the dense kernel: there is no dense j axis.
+Source features (k/x_gate/v/X) sit in node tables ``[N, F]`` that stay
+VMEM-resident across the whole grid, and each block's neighbor lookups
+are **in-kernel one-hot matmuls** ``onehot[TB*K, N] @ table[N, F]`` —
+the MXU replaces XLA's pathological row gathers (the measured
+2381 ms ELL regression at 600-700 atoms, PERF.md).  The backward's
+source-feature gradients are the transposed matmuls
+``onehot^T @ g  -> [N, F]``, accumulated in place across the
+sequential grid: scatter-free aggregation in both directions.
+
+Layout notes (Mosaic): pair-indexed tensors arrive flattened
+``[N*K, F]`` with the feature axis minor; grid = node blocks of TB
+rows (TB*K pairs each); per-head reductions/broadcasts are indicator
+matmuls like fused_gata.  The one-hot is rebuilt per grid step from
+the ``[TB*K, 1]`` neighbor-index block (VPU compare against a
+broadcasted iota — negligible next to the gather matmuls).
+
+Capacity: the node tables must fit VMEM, which holds to roughly
+N ~ 2000 at the flagship width; beyond that the XLA windowed-gather
+formulation (models/gotennet_ell.py:_gather_fn) is the path.  Only
+'swish'/'silu' (the shipped config) is fused; other activations fall
+back at the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gotennet_tpu.ops.spherical import degree_slices
+
+__all__ = ["fused_ell_message", "make_fused_ell"]
+
+
+def _pick_rows(N: int, K: int, max_pairs: int = 4096) -> int:
+    """Destination rows per grid step: the largest multiple-of-8
+    divisor of N whose pair block TB*K stays under ``max_pairs``."""
+    divs = [tb for tb in range(8, N + 1, 8) if N % tb == 0]
+    fits = [tb for tb in divs if tb * K <= max_pairs]
+    if fits:
+        return fits[-1]
+    return divs[0] if divs else N
+
+
+def _onehot(nbr_col, N: int, dtype):
+    """[TBK, 1] int32 neighbor indices -> [TBK, N] one-hot selector."""
+    tbk = nbr_col.shape[0]
+    return (nbr_col == jax.lax.broadcasted_iota(
+        jnp.int32, (tbk, N), 1)).astype(dtype)
+
+
+def _ell_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref,
+                env_ref, scale_ref, nbr_ref, wre_ref, bre_ref, wrs_ref,
+                brs_ref, dh_ref, dx_ref, attn_ref, *, TB, K, N, D, H,
+                lmax, mult, sep_dir, sep_tensor, pair_dtype):
+    """One grid step = one TB-row destination block; all K neighbor
+    slots of each row are resident, so the softmax is exact."""
+    f32 = jnp.float32
+    pd = pair_dtype
+    TBK = TB * K
+
+    t2 = t_ref[...].astype(pd)              # [TBK, D]
+    oh = _onehot(nbr_ref[...], N, pd)       # [TBK, N]
+
+    def gath(a):
+        """[N, F] source table -> [TBK, F] neighbor rows (MXU)."""
+        return jnp.dot(oh, a.astype(pd), preferred_element_type=f32)
+
+    # --- attention filter + SDDMM logits ----------------------------
+    ta = jnp.dot(t2, wre_ref[...].astype(pd), preferred_element_type=f32)
+    ta = ta + bre_ref[...]
+    ta = ta * jax.lax.logistic(ta)          # silu / swish
+    qrep = jnp.repeat(q_ref[...].astype(pd), K, axis=0)   # [TBK, D]
+    k_j = gath(k_ref[...]).astype(pd)
+    p = ta.astype(pd) * qrep * k_j
+    dh_per = D // H
+    col = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // dh_per
+    head = jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
+    sel = (col == head).astype(pd)
+    logits = jnp.dot(p, sel, preferred_element_type=f32)  # [TBK, H]
+
+    # env carries cutoff for valid pairs, -1 invalid (sign = mask)
+    env = env_ref[...]                      # [TBK, 1]
+    valid = env >= 0.0
+    envp = jnp.maximum(env, 0.0)
+
+    logits = jnp.where(valid, logits, jnp.float32(-1e30))
+    l3 = logits.reshape(TB, K, H)
+    mx = jnp.max(l3, axis=1, keepdims=True)
+    ex = jnp.exp(l3 - mx) * valid.reshape(TB, K, 1)
+    denom = jnp.sum(ex, axis=1, keepdims=True) + 1e-16
+    sm = (ex / denom).reshape(TBK, H)
+    attn_ref[...] = sm                      # pre-scale softmax residual
+    attn = sm * scale_ref[...]
+
+    envp_p = envp.astype(pd)
+    attn_p = attn.astype(pd)
+    e_per = (mult * D) // H
+    xg_tab = xg_ref[...]
+    v_tab = v_ref[...]
+
+    def group(co):
+        """o for channel block [co, co+D): [TBK, D] in pair dtype."""
+        tf = jnp.dot(t2, wrs_ref[:, co:co + D].astype(pd),
+                     preferred_element_type=f32) + brs_ref[:, co:co + D]
+        ch = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) + co
+        hsel = (ch // e_per == jax.lax.broadcasted_iota(
+            jnp.int32, (H, D), 0)).astype(pd)
+        attn_c = jnp.dot(attn_p, hsel,
+                         preferred_element_type=f32).astype(pd)
+        xg_j = gath(xg_tab[:, co:co + D]).astype(pd)
+        v_j = gath(v_tab[:, co:co + D]).astype(pd)
+        return tf.astype(pd) * xg_j * envp_p + attn_c * v_j
+
+    # --- scalar group -> d_h ------------------------------------------
+    o_s = group(0)
+    dh_ref[...] = jnp.sum(o_s.reshape(TB, K, D).astype(f32), axis=1)
+
+    # --- steerable groups -> dX ---------------------------------------
+    rl = rl_ref[...].astype(pd)             # [TBK, L]
+    off = D
+    for l, (lo, hi) in enumerate(degree_slices(lmax)):
+        o_d = group(off + (l * D if sep_dir else 0)).reshape(TB, K, D)
+        for m in range(lo, hi):
+            rl_m = rl[:, m:m + 1].reshape(TB, K, 1)
+            dx_ref[:, m, :] = jnp.sum((o_d * rl_m).astype(f32), axis=1)
+    off += (lmax if sep_dir else 1) * D
+    for l, (lo, hi) in enumerate(degree_slices(lmax)):
+        o_t = group(off + (l * D if sep_tensor else 0))
+        for m in range(lo, hi):
+            x_m = gath(x_ref[:, m, :]).astype(pd)     # [TBK, D]
+            acc = jnp.sum((o_t * x_m).reshape(TB, K, D).astype(f32),
+                          axis=1)
+            dx_ref[:, m, :] = dx_ref[:, m, :] + acc
+
+
+def _pallas_ell_forward(t, q, k, x_g, v, rl, X, env_signed, scale, nbr,
+                        W_re, b_re, W_rs, b_rs, *, lmax: int,
+                        num_heads: int, sep_dir: bool, sep_tensor: bool,
+                        interpret: bool = False, pair_dtype=jnp.float32,
+                        max_pairs: int = 4096
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused ELL message+aggregate; returns the PRE-scale softmax
+    [N, K, H] as the third output (the VJP residual).
+
+    Args:
+        t: [N, K, D] edge state; rl: [N, K, L]; env_signed: [N, K]
+            (= cutoff for valid slots, -1 for padded — sign is the
+            mask); scale: [N, K] or per-head [N, K, H] (attention
+            dropout folds in here); nbr: [N, K] int32 source indices.
+        q, k: [N, D]; x_g, v: [N, mult*D]; X: [N, L, D].
+    """
+    N, K, D = t.shape
+    L = rl.shape[-1]
+    H = num_heads
+    mult = W_rs.shape[1] // D
+    TB = _pick_rows(N, K, max_pairs)
+    NB = N // TB
+    SH = H if scale.ndim == 3 else 1
+
+    kern = functools.partial(
+        _ell_kernel, TB=TB, K=K, N=N, D=D, H=H, lmax=lmax, mult=mult,
+        sep_dir=sep_dir, sep_tensor=sep_tensor, pair_dtype=pair_dtype)
+
+    def pspec(f):
+        """Pair-indexed [TBK, f] block."""
+        return pl.BlockSpec((TB * K, f), lambda b: (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    def rspec(*shape):
+        """Destination-row block [TB, ...]."""
+        return pl.BlockSpec((TB,) + shape,
+                            lambda b: (b,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def fspec(*shape):
+        """Full-array block, resident across the grid."""
+        return pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((N, D), jnp.float32),
+        jax.ShapeDtypeStruct((N, L, D), jnp.float32),
+        jax.ShapeDtypeStruct((N * K, H), jnp.float32),
+    )
+    d_h, dX, attn = pl.pallas_call(
+        kern,
+        grid=(NB,),
+        in_specs=[
+            pspec(D), rspec(D), fspec(N, D),
+            fspec(N, mult * D), fspec(N, mult * D),
+            pspec(L), fspec(N, L, D), pspec(1), pspec(SH),
+            pspec(1),
+            fspec(D, D), fspec(1, D), fspec(D, mult * D),
+            fspec(1, mult * D),
+        ],
+        out_specs=(rspec(D), rspec(L, D), pspec(H)),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(t.reshape(N * K, D), q, k, x_g, v,
+      rl.reshape(N * K, L), X,
+      env_signed.reshape(N * K, 1), scale.reshape(N * K, SH),
+      nbr.reshape(N * K, 1).astype(jnp.int32),
+      W_re, b_re.reshape(1, D), W_rs, b_rs.reshape(1, mult * D))
+    return d_h, dX, attn.reshape(N, K, H)
+
+
+def fused_ell_message(t, q, k, x_g, v, rl, X, env_signed, scale, nbr,
+                      W_re, b_re, W_rs, b_rs, *, lmax: int,
+                      num_heads: int, sep_dir: bool, sep_tensor: bool,
+                      interpret: bool = False, pair_dtype=jnp.float32,
+                      max_pairs: int = 4096):
+    """Fused step with the public (scaled) attention as third output."""
+    d_h, dX, sm = _pallas_ell_forward(
+        t, q, k, x_g, v, rl, X, env_signed, scale, nbr, W_re, b_re,
+        W_rs, b_rs, lmax=lmax, num_heads=num_heads, sep_dir=sep_dir,
+        sep_tensor=sep_tensor, interpret=interpret,
+        pair_dtype=pair_dtype, max_pairs=max_pairs)
+    return d_h, dX, sm * (scale if scale.ndim == 3 else scale[..., None])
+
+
+def _ell_bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref,
+                    env_ref, scale_ref, nbr_ref, wre_ref, bre_ref,
+                    wrs_ref, brs_ref, sm_ref, gdh_ref, gdx_ref,
+                    gt_ref, gq_ref, gk_ref, gxg_ref, gv_ref, grl_ref,
+                    gx_ref, genv_ref, gscale_ref, gwre_ref, gbre_ref,
+                    gwrs_ref, gbrs_ref, *, TB, K, N, D, H, lmax, mult,
+                    sep_dir, sep_tensor, pair_dtype, scale_heads=False):
+    """Analytic VJP of _ell_kernel, one grid step per destination block.
+
+    Weight gradients and source-table gradients (g_k, g_xg, g_v, g_X)
+    are full-array outputs zero-initialised at the first step and
+    accumulated in place across the sequential grid; the source-table
+    accumulation is the transposed one-hot matmul — a scatter-free
+    segment reduction.  Precision mirrors fused_gata's backward:
+    pair-sized elementwise in pair_dtype, reductions/accumulations and
+    the softmax backward in f32.
+    """
+    f32 = jnp.float32
+    pd = pair_dtype
+    first = pl.program_id(0) == 0
+    TBK = TB * K
+
+    t2 = t_ref[...]
+    t2p = t2.astype(pd)
+    env = env_ref[...]
+    valid = env >= 0.0
+    envp = jnp.maximum(env, 0.0)
+    envp_p = envp.astype(pd)
+    scale = scale_ref[...]
+    sm = sm_ref[...]
+    attn = sm * scale
+    attn_p = attn.astype(pd)
+    rl = rl_ref[...]
+    rl_p = rl.astype(pd)
+    gdh = gdh_ref[...]                      # [TB, D]
+    gdx = gdx_ref[...]                      # [TB, L, D]
+    gdx_p = gdx.astype(pd)
+    e_per = (mult * D) // H
+    oh = _onehot(nbr_ref[...], N, pd)       # [TBK, N]
+    xg_tab = xg_ref[...]
+    v_tab = v_ref[...]
+
+    def gath(a):
+        return jnp.dot(oh, a.astype(pd), preferred_element_type=f32)
+
+    def scat(a):
+        """f32 sum over this block's pairs into source rows: [TBK, F]
+        -> [N, F] (the gather transpose)."""
+        return jax.lax.dot_general(
+            oh, a.astype(pd),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    @pl.when(first)
+    def _init_accumulators():
+        gk_ref[...] = jnp.zeros(gk_ref.shape, f32)
+        gxg_ref[...] = jnp.zeros(gxg_ref.shape, f32)
+        gv_ref[...] = jnp.zeros(gv_ref.shape, f32)
+        gx_ref[...] = jnp.zeros(gx_ref.shape, f32)
+        gwre_ref[...] = jnp.zeros(gwre_ref.shape, f32)
+        gbre_ref[...] = jnp.zeros(gbre_ref.shape, f32)
+        gwrs_ref[...] = jnp.zeros(gwrs_ref.shape, f32)
+        gbrs_ref[...] = jnp.zeros(gbrs_ref.shape, f32)
+
+    def rep_i(a):
+        """[TB, D] destination-keyed -> [TBK, D] over pairs."""
+        return jnp.repeat(a, K, axis=0)
+
+    def jsum(a):
+        """f32 sum over K of [TBK, F] -> [TB, F]."""
+        return jnp.sum(a.reshape(TB, K, -1).astype(f32), axis=1)
+
+    g_attn = jnp.zeros((TBK, H), f32)
+    g_env = jnp.zeros((TBK, 1), f32)
+    gt_acc = jnp.zeros((TBK, D), f32)
+
+    def block_bwd(co, g_o, degs_rl, degs_X, g_attn, g_env, gt_acc):
+        """Backprop one distinct channel block [co, co+D)."""
+        wrs_c = wrs_ref[:, co:co + D].astype(pd)
+        tf = (jnp.dot(t2p, wrs_c, preferred_element_type=f32)
+              + brs_ref[:, co:co + D]).astype(pd)
+        ch = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) + co
+        hsel = (ch // e_per == jax.lax.broadcasted_iota(
+            jnp.int32, (H, D), 0)).astype(pd)
+        attn_c = jnp.dot(attn_p, hsel,
+                         preferred_element_type=f32).astype(pd)
+        xg_j = gath(xg_tab[:, co:co + D]).astype(pd)
+        v_j = gath(v_tab[:, co:co + D]).astype(pd)
+
+        if degs_rl or degs_X:
+            o_c = tf * xg_j * envp_p + attn_c * v_j
+            for m in degs_rl:
+                gdx_m = rep_i(gdx_p[:, m, :])
+                grl_ref[:, m:m + 1] = jnp.sum(
+                    (gdx_m * o_c).astype(f32), axis=1, keepdims=True)
+            for m in degs_X:
+                gdx_m = rep_i(gdx_p[:, m, :])
+                gx_ref[:, m, :] = gx_ref[:, m, :] + scat(o_c * gdx_m)
+
+        g_tf = g_o * xg_j * envp_p
+        gxg_ref[:, co:co + D] = (gxg_ref[:, co:co + D]
+                                 + scat(g_o * tf * envp_p))
+        gv_ref[:, co:co + D] = (gv_ref[:, co:co + D]
+                                + scat(attn_c * g_o))
+        g_env = g_env + jnp.sum((g_o * tf * xg_j).astype(f32),
+                                axis=1, keepdims=True)
+        g_attn = g_attn + jax.lax.dot_general(
+            g_o * v_j, hsel,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        gt_acc = gt_acc + jax.lax.dot_general(
+            g_tf, wrs_c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        gw = jax.lax.dot_general(
+            t2p, g_tf,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        gwrs_ref[:, co:co + D] = gwrs_ref[:, co:co + D] + gw
+        gbrs_ref[:, co:co + D] = gbrs_ref[:, co:co + D] + jnp.sum(
+            g_tf.astype(f32), axis=0, keepdims=True)
+        return g_attn, g_env, gt_acc
+
+    # ---- scalar block ------------------------------------------------
+    g_attn, g_env, gt_acc = block_bwd(0, rep_i(gdh.astype(pd)), (), (),
+                                      g_attn, g_env, gt_acc)
+
+    # ---- dir blocks ----------------------------------------------------
+    slices = degree_slices(lmax)
+    off = D
+    if sep_dir:
+        for l, (lo, hi) in enumerate(slices):
+            g_o = sum(rl_p[:, m:m + 1] * rep_i(gdx_p[:, m, :])
+                      for m in range(lo, hi))
+            g_attn, g_env, gt_acc = block_bwd(
+                off + l * D, g_o, tuple(range(lo, hi)), (),
+                g_attn, g_env, gt_acc)
+    else:
+        g_o = sum(rl_p[:, m:m + 1] * rep_i(gdx_p[:, m, :])
+                  for lo, hi in slices for m in range(lo, hi))
+        g_attn, g_env, gt_acc = block_bwd(
+            off, g_o, tuple(range(slices[0][0], slices[-1][1])), (),
+            g_attn, g_env, gt_acc)
+    off += (lmax if sep_dir else 1) * D
+
+    # ---- tensor blocks -------------------------------------------------
+    if sep_tensor:
+        for l, (lo, hi) in enumerate(slices):
+            g_o = sum(gath(x_ref[:, m, :]).astype(pd)
+                      * rep_i(gdx_p[:, m, :])
+                      for m in range(lo, hi))
+            g_attn, g_env, gt_acc = block_bwd(
+                off + l * D, g_o, (), tuple(range(lo, hi)),
+                g_attn, g_env, gt_acc)
+    else:
+        g_o = sum(gath(x_ref[:, m, :]).astype(pd)
+                  * rep_i(gdx_p[:, m, :])
+                  for lo, hi in slices for m in range(lo, hi))
+        g_attn, g_env, gt_acc = block_bwd(
+            off, g_o, (), tuple(range(slices[0][0], slices[-1][1])),
+            g_attn, g_env, gt_acc)
+
+    # ---- attention backward --------------------------------------------
+    if scale_heads:
+        gscale_ref[...] = sm * g_attn
+    else:
+        gscale_ref[...] = jnp.sum(sm * g_attn, axis=1, keepdims=True)
+    g_sm3 = (g_attn * scale).reshape(TB, K, H)
+    sm3 = sm.reshape(TB, K, H)
+    s = jnp.sum(sm3 * g_sm3, axis=1, keepdims=True)
+    g_logits = (sm3 * (g_sm3 - s)).reshape(TBK, H)
+
+    dh_per = D // H
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // dh_per
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+    selT = (col == row).astype(pd)
+    g_p = jnp.dot(g_logits.astype(pd), selT,
+                  preferred_element_type=f32)          # [TBK, D]
+
+    zre = jnp.dot(t2p, wre_ref[...].astype(pd),
+                  preferred_element_type=f32) + bre_ref[...]
+    sig = jax.lax.logistic(zre)
+    ta = zre * sig
+    qrep = rep_i(q_ref[...].astype(pd))
+    k_j = gath(k_ref[...]).astype(pd)
+    g_p_p = g_p.astype(pd)
+    ta_p = ta.astype(pd)
+    g_ta = (g_p_p * qrep * k_j).astype(f32)
+    gq_ref[...] = jsum(g_p_p * ta_p * k_j)
+    gk_ref[...] = gk_ref[...] + scat(g_p_p * ta_p * qrep)
+    g_zre = g_ta * (sig + zre * sig * (1.0 - sig))
+
+    gt_acc = gt_acc + jax.lax.dot_general(
+        g_zre.astype(pd), wre_ref[...].astype(pd),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+    gwre_ref[...] = gwre_ref[...] + jax.lax.dot_general(
+        t2p, g_zre.astype(pd),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    gbre_ref[...] = gbre_ref[...] + jnp.sum(g_zre, axis=0, keepdims=True)
+
+    gt_ref[...] = gt_acc
+    genv_ref[...] = jnp.where(valid, g_env, 0.0)
+
+
+def _pallas_ell_backward(t, q, k, x_g, v, rl, X, env_signed, scale, nbr,
+                         W_re, b_re, W_rs, b_rs, sm, g_dh, g_dX, *,
+                         lmax: int, num_heads: int, sep_dir: bool,
+                         sep_tensor: bool, interpret: bool = False,
+                         pair_dtype=jnp.float32, max_pairs: int = 4096):
+    N, K, D = t.shape
+    L = rl.shape[-1]
+    H = num_heads
+    mult = W_rs.shape[1] // D
+    TB = _pick_rows(N, K, max_pairs // 2)   # bwd working set ~2x fwd
+    NB = N // TB
+    SH = H if scale.ndim == 3 else 1
+
+    kern = functools.partial(
+        _ell_bwd_kernel, TB=TB, K=K, N=N, D=D, H=H, lmax=lmax,
+        mult=mult, sep_dir=sep_dir, sep_tensor=sep_tensor,
+        pair_dtype=pair_dtype, scale_heads=(SH == H))
+
+    def pspec(f):
+        return pl.BlockSpec((TB * K, f), lambda b: (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    def rspec(*shape):
+        return pl.BlockSpec((TB,) + shape,
+                            lambda b: (b,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def fspec(*shape):
+        return pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    out_shapes = (
+        jax.ShapeDtypeStruct((N * K, D), f32),          # g_t
+        jax.ShapeDtypeStruct((N, D), f32),              # g_q
+        jax.ShapeDtypeStruct((N, D), f32),              # g_k
+        jax.ShapeDtypeStruct((N, mult * D), f32),       # g_xg
+        jax.ShapeDtypeStruct((N, mult * D), f32),       # g_v
+        jax.ShapeDtypeStruct((N * K, L), f32),          # g_rl
+        jax.ShapeDtypeStruct((N, L, D), f32),           # g_X
+        jax.ShapeDtypeStruct((N * K, 1), f32),          # g_env
+        jax.ShapeDtypeStruct((N * K, SH), f32),         # g_scale
+        jax.ShapeDtypeStruct((D, D), f32),              # g_Wre
+        jax.ShapeDtypeStruct((1, D), f32),              # g_bre
+        jax.ShapeDtypeStruct((D, mult * D), f32),       # g_Wrs
+        jax.ShapeDtypeStruct((1, mult * D), f32),       # g_brs
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(NB,),
+        in_specs=[
+            pspec(D), rspec(D), fspec(N, D),
+            fspec(N, mult * D), fspec(N, mult * D),
+            pspec(L), fspec(N, L, D), pspec(1), pspec(SH), pspec(1),
+            fspec(D, D), fspec(1, D), fspec(D, mult * D),
+            fspec(1, mult * D),
+            pspec(H), rspec(D), rspec(L, D),
+        ],
+        out_specs=(
+            pspec(D), rspec(D), fspec(N, D),
+            fspec(N, mult * D), fspec(N, mult * D),
+            pspec(L), fspec(N, L, D), pspec(1), pspec(SH),
+            fspec(D, D), fspec(1, D), fspec(D, mult * D),
+            fspec(1, mult * D),
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(t.reshape(N * K, D), q, k, x_g, v,
+      rl.reshape(N * K, L), X,
+      env_signed.reshape(N * K, 1), scale.reshape(N * K, SH),
+      nbr.reshape(N * K, 1).astype(jnp.int32),
+      W_re, b_re.reshape(1, D), W_rs, b_rs.reshape(1, mult * D),
+      sm.reshape(N * K, H), g_dh, g_dX)
+    (g_t, g_q, g_k, g_xg, g_v, g_rl, g_X, g_env, g_scale,
+     g_Wre, g_bre, g_Wrs, g_brs) = outs
+    return (g_t.reshape(N, K, D), g_q, g_k, g_xg, g_v,
+            g_rl.reshape(N, K, L), g_X, g_env.reshape(N, K),
+            g_scale.reshape((N, K, H) if SH == H else (N, K)),
+            g_Wre, g_bre.reshape(D), g_Wrs, g_brs.reshape(mult * D))
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_ell(lmax: int, num_heads: int, sep_dir: bool,
+                   sep_tensor: bool, interpret: bool = False,
+                   pair_dtype=jnp.float32, max_pairs: int = 4096):
+    """Build the trainable fused ELL step: Pallas forward + Pallas
+    backward wired through jax.custom_vjp.
+
+    Returns fn(t, q, k, x_g, v, rl, X, env_signed, scale, nbr, W_re,
+    b_re, W_rs, b_rs) -> (d_h, dX).  All float inputs are
+    differentiable (env_signed/rl carry the position gradient for
+    force training); ``nbr`` is an integer input with a float0
+    cotangent.
+    """
+    import numpy as np
+
+    kw = dict(lmax=lmax, num_heads=num_heads, sep_dir=sep_dir,
+              sep_tensor=sep_tensor, interpret=interpret,
+              pair_dtype=pair_dtype, max_pairs=max_pairs)
+
+    @jax.custom_vjp
+    def fused(*args):
+        d_h, dX, _ = _pallas_ell_forward(*args, **kw)
+        return d_h, dX
+
+    def fwd(*args):
+        d_h, dX, sm = _pallas_ell_forward(*args, **kw)
+        return (d_h, dX), (args, sm)
+
+    def bwd(res, cots):
+        args, sm = res
+        g_dh, g_dX = cots
+        # grads order: (g_t, g_q, g_k, g_xg, g_v, g_rl, g_X, g_env,
+        # g_scale, g_Wre, g_bre, g_Wrs, g_brs); the primal order has
+        # the integer ``nbr`` at position 9 (float0 cotangent).
+        grads = _pallas_ell_backward(*args, sm, g_dh, g_dX, **kw)
+        out = []
+        for i, a in enumerate(args):
+            if i == 9:
+                out.append(np.zeros(a.shape, jax.dtypes.float0))
+            else:
+                g = grads[i] if i < 9 else grads[i - 1]
+                out.append(g.astype(a.dtype))
+        return tuple(out)
+
+    fused.defvjp(fwd, bwd)
+    return fused

@@ -53,22 +53,17 @@ def batch_pspec(edge_axis: Optional[str] = "edge",
 
 def pspec_for_layout(layout: str, edge_axis: Optional[str] = None,
                      with_forces: bool = False):
-    """PartitionSpec pytree for a stacked batch of any model layout.
-    Only the 'edge' layout supports an extra edge-sharding axis; 'ell'
-    and 'dense' batches shard on the leading device axis only."""
-    node = P("data")
+    """PartitionSpec (pytree or prefix) for a stacked batch of any
+    model layout.  Only the 'edge' layout supports an extra
+    edge-sharding axis (full spec tree); 'ell' and 'dense' batches
+    shard on the leading device axis only, returned as a single
+    ``P('data')`` *prefix* — shard_map/device_put broadcast it over
+    every leaf, so batch pytrees may carry static aux metadata (ELL
+    gather windows) without the spec tree having to mirror it."""
     if layout == "edge":
         return batch_pspec(edge_axis, with_forces=with_forces)
-    if layout == "ell":
-        from gotennet_tpu.graph.ell_batch import ELLBatch
-        return ELLBatch(
-            z=node, pos=node, node_graph=node, nbr=node, nbr_mask=node,
-            node_mask=node, graph_mask=node, y=node,
-            dy=node if with_forces else None)
-    if layout == "dense":
-        from gotennet_tpu.graph.dense_batch import DenseBatch
-        return DenseBatch(z=node, pos=node, mask=node, graph_mask=node,
-                          y=node, dy=node if with_forces else None)
+    if layout in ("ell", "dense"):
+        return P("data")
     raise ValueError(f"Unknown layout {layout!r}")
 
 
@@ -78,6 +73,10 @@ def shard_graph_batch(batch, mesh: Mesh,
     """Device-put a stacked batch with the canonical sharding."""
     spec = pspec_for_layout(layout, edge_axis,
                             with_forces=batch.dy is not None)
+    if isinstance(spec, P):  # prefix: same spec for every leaf
+        return jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, spec)),
+            batch)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         batch, spec)
@@ -101,6 +100,8 @@ def make_global_batch(local_stacked, mesh: Mesh,
         return jax.make_array_from_process_local_data(
             sharding, np.asarray(x))
 
+    if isinstance(spec, P):  # prefix: same spec for every leaf
+        return jax.tree.map(lambda x: put(x, spec), local_stacked)
     return jax.tree.map(put, local_stacked, spec)
 
 

@@ -71,6 +71,7 @@ class MetricLogger:
         self._csv_enabled = False
         self._csv_files: Dict[str, Any] = {}   # phase -> (file, columns)
         self._wandb = None
+        self._mlflow = None
         self._tb = None
         if not self._main:
             return
@@ -87,6 +88,21 @@ class MetricLogger:
             except Exception as e:  # wandb absent or offline init failure
                 get_logger().warning(
                     "wandb backend unavailable (%s); JSONL only", e)
+        elif backend == "mlflow":
+            # ≙ reference configs/logger/mlflow.yaml; gated import —
+            # mlflow isn't baked into this image, JSONL always remains
+            try:
+                import mlflow
+                mlflow.set_tracking_uri(os.environ.get(
+                    "MLFLOW_TRACKING_URI",
+                    "file://" + os.path.join(workdir, "mlruns")))
+                mlflow.set_experiment(os.environ.get(
+                    "MLFLOW_EXPERIMENT", "gotennet_tpu"))
+                self._mlflow = mlflow
+                self._mlflow_run = mlflow.start_run()
+            except Exception as e:
+                get_logger().warning(
+                    "mlflow backend unavailable (%s); JSONL only", e)
         if tensorboard:
             try:
                 from tensorboardX import SummaryWriter
@@ -122,6 +138,11 @@ class MetricLogger:
             self._wandb.log(
                 {f"{phase}/{k}": v for k, v in rec.items()
                  if isinstance(v, (int, float))}, step=step)
+        if self._mlflow is not None:
+            self._mlflow.log_metrics(
+                {f"{phase}/{k}": float(v) for k, v in rec.items()
+                 if isinstance(v, (int, float)) and np.isfinite(v)},
+                step=step)
         if self._tb is not None:
             for k, v in rec.items():
                 if k in ("phase", "step", "epoch"):
@@ -138,6 +159,8 @@ class MetricLogger:
             self._tb.close()
         if self._wandb is not None:
             self._wandb.finish()
+        if self._mlflow is not None:
+            self._mlflow.end_run()
 
 
 def make_logger(workdir: str, backend: str = "jsonl",

@@ -217,6 +217,77 @@ def test_dense_with_dropout_trains():
     assert float(l3) == float(l4)
 
 
+def test_dense_bucketing_loader():
+    """Size-bucketed DenseLoader: per-batch M (multiple of 8, <= global
+    cap), every molecule exactly once, materially fewer padded pairs."""
+    from gotennet_tpu.data.dataset import DenseLoader, synthetic_molecules
+    ds = synthetic_molecules(64, seed=0, min_atoms=6, max_atoms=28)
+    loader = DenseLoader(ds, batch_size=8, shuffle=True, seed=1,
+                         bucket=True, bucket_window=4)
+    loader.set_epoch(0)
+    batches = list(loader)
+    assert len(batches) == 8
+    ms = {b.max_atoms for b in batches}
+    assert len(ms) > 1 and max(ms) <= 32
+    assert all(m % 8 == 0 for m in ms)
+    total_atoms = sum(int(np.asarray(b.mask).sum()) for b in batches)
+    assert total_atoms == sum(len(z) for z in ds.z)
+    pairs_b = sum(b.num_graphs * b.max_atoms ** 2 for b in batches)
+    pairs_f = sum(b.num_graphs * b.max_atoms ** 2
+                  for b in DenseLoader(ds, batch_size=8))
+    assert pairs_b < 0.8 * pairs_f
+
+
+def test_dense_padding_invariance():
+    """The dense model's outputs for real atoms are independent of the
+    batch's M padding — the invariance size bucketing relies on."""
+    cfg = GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2,
+                         n_rbf=8, num_heads=4)
+    rng = np.random.default_rng(5)
+    graphs = _graphs(rng, sizes=(5, 7, 9))
+    small = collate_dense(graphs, 3, 16)
+    big = collate_dense(graphs, 3, 32)
+    model = GotenNetDense(cfg)
+    params = model.init(jax.random.PRNGKey(0), small)
+    h_s, X_s = model.apply(params, small)
+    h_b, X_b = model.apply(params, big)
+    for g, gr in enumerate(graphs):
+        m = len(gr["z"])
+        np.testing.assert_allclose(np.asarray(h_s)[g, :m],
+                                   np.asarray(h_b)[g, :m],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(X_s)[g, :m],
+                                   np.asarray(X_b)[g, :m],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_accum_with_bucketed_loader(tmp_path):
+    """Gradient accumulation over a bucketed loader: chunks of
+    different M are padded to a common shape by pad_stack and training
+    proceeds."""
+    import jax as _jax
+
+    from gotennet_tpu.data.dataset import DenseLoader, synthetic_molecules
+    from gotennet_tpu.models.model import GotenModel
+    from gotennet_tpu.tasks.qm9 import QM9Task
+    from gotennet_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=1,
+                         n_rbf=8, num_heads=4)
+    ds = synthetic_molecules(32, seed=0, min_atoms=5, max_atoms=20)
+    task = QM9Task("U0", dataset_meta={"mean": float(ds.y.mean()),
+                                       "std": float(ds.y.std())})
+    model = GotenModel(cfg, task.build_head(), layout="dense")
+    loader = DenseLoader(ds, batch_size=4, shuffle=True, seed=1,
+                         bucket=True, bucket_window=2)
+    trainer = Trainer(model, task, TrainerConfig(
+        lr=1e-3, max_epochs=2, scheduler="none", grad_accum_steps=2,
+        workdir=str(tmp_path), log_every=1000))
+    params = model.init(_jax.random.PRNGKey(0), next(iter(loader)))
+    params, hist = trainer.fit(params, loader, loader)
+    assert np.isfinite(hist[-1]["val_loss"])
+
+
 def test_dense_rotation_equivariance():
     rng = np.random.default_rng(6)
     graphs = _graphs(rng)

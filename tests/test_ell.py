@@ -61,6 +61,122 @@ def test_ell_matches_edge_layout(cfg):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_ell_windowed_gather_matches_take():
+    """The windowed one-hot gather path (the 10^3-atom formulation) is
+    numerically identical to plain row gathers in f32, for values and
+    gradients."""
+    from gotennet_tpu.graph.ell_batch import collate_ell
+
+    cfg = _cfg()
+    rng = np.random.default_rng(2)
+    # one larger molecule so windows are meaningful
+    graphs = [dict(z=rng.integers(1, 10, size=40),
+                   pos=rng.standard_normal((40, 3)) * 3.0, y=[0.0])]
+    take_b = collate_ell(graphs, 48, 16, 1, cutoff=cfg.cutoff,
+                         max_num_neighbors=12)
+    win_b = collate_ell(graphs, 48, 16, 1, cutoff=cfg.cutoff,
+                        max_num_neighbors=12,
+                        block_rows=8, spatial_sort=True)
+    assert win_b.gather_window is not None
+
+    model = GotenNetELL(cfg)
+    params = model.init(jax.random.PRNGKey(0), take_b)
+    # compare on the SAME atom order: spatially sort the raw graph and
+    # collate both ways without in-collator sorting
+    from gotennet_tpu.graph.neighborlist import spatial_order
+    perm = spatial_order(graphs[0]["pos"], cfg.cutoff)
+    sg = [dict(z=graphs[0]["z"][perm], pos=graphs[0]["pos"][perm],
+               y=[0.0])]
+    tb = collate_ell(sg, 48, 16, 1, cutoff=cfg.cutoff,
+                     max_num_neighbors=12)
+    wb = collate_ell(sg, 48, 16, 1, cutoff=cfg.cutoff,
+                     max_num_neighbors=12, block_rows=8)
+    np.testing.assert_array_equal(np.asarray(tb.nbr), np.asarray(wb.nbr))
+
+    h_t, X_t = model.apply(params, tb)
+    h_w, X_w = model.apply(params, wb)
+    np.testing.assert_allclose(np.asarray(h_w)[:40],
+                               np.asarray(h_t)[:40], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(X_w)[:40],
+                               np.asarray(X_t)[:40], rtol=2e-5, atol=2e-5)
+
+    # gradient parity: d(sum h)/d(params) identical across paths
+    import jax.numpy as jnp
+
+    def loss(p, b):
+        h, X = model.apply(p, b)
+        return jnp.sum(h[:40] ** 2) + jnp.sum(X[:40] ** 2)
+
+    g_t = jax.grad(loss)(params, tb)
+    g_w = jax.grad(loss)(params, wb)
+    for a, b in zip(jax.tree.leaves(g_t), jax.tree.leaves(g_w)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_fused_ell_model_matches_unfused():
+    """GotenNetELL with cfg.fused=True (Pallas kernel, interpret mode
+    on CPU) == the unfused XLA path: same parameter tree, same
+    outputs, same gradients."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg = _cfg()
+    cfg_f = dataclasses.replace(cfg, fused=True, remat=False)
+    rng = np.random.default_rng(0)
+    graphs = _graphs(rng)
+    gb = collate_graphs(graphs, 24, 256, 4, cutoff=cfg.cutoff)
+    eb = ell_from_graph_batch(gb, max_neighbors=12)
+
+    model_u = GotenNetELL(cfg)
+    model_f = GotenNetELL(cfg_f)
+    params = model_u.init(jax.random.PRNGKey(0), eb)
+    params_f = model_f.init(jax.random.PRNGKey(0), eb)
+    assert (jax.tree_util.tree_structure(params_f)
+            == jax.tree_util.tree_structure(params))
+
+    h_u, X_u = model_u.apply(params, eb)
+    h_f, X_f = model_f.apply(params, eb)
+    n_real = sum(len(g["z"]) for g in graphs)
+    np.testing.assert_allclose(np.asarray(h_f)[:n_real],
+                               np.asarray(h_u)[:n_real],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(X_f)[:n_real],
+                               np.asarray(X_u)[:n_real],
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(model):
+        def f(p):
+            h, X = model.apply(p, eb)
+            return jnp.sum(h[:n_real] ** 2) + jnp.sum(X[:n_real] ** 2)
+        return f
+
+    g_u = jax.grad(loss(model_u))(params)
+    g_f = jax.grad(loss(model_f))(params)
+    for a, b in zip(jax.tree.leaves(g_u), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=1e-3)
+
+
+def test_spatial_order_bounds_window():
+    """Cell-lexicographic ordering yields gather windows well below N
+    for spatially extended systems."""
+    from gotennet_tpu.graph.ell_batch import collate_ell
+
+    ds = synthetic_molecules(1, seed=0, min_atoms=600, max_atoms=600,
+                             box=6.3)
+    g = [dict(z=ds.z[0], pos=ds.pos[0], y=[0.0])]
+    b = collate_ell(g, 640, 36, 1, cutoff=5.0, block_rows=64,
+                    spatial_sort=True)
+    assert b.gather_window is not None
+    # at ~600 atoms (23 A box, 5 A cells -> ~4.6 cells/side) the
+    # lexicographic band is ~3 x-slabs of ~4.6 -> W ~= 0.8 N; the
+    # ratio shrinks linearly with system size (W tracks slab size,
+    # not N)
+    assert b.gather_window <= 0.85 * b.num_nodes, b.gather_window
+
+
 def test_ell_loader_roundtrip_and_capacity():
     ds = synthetic_molecules(20, seed=1, min_atoms=5, max_atoms=12)
     loader = ELLLoader(ds, batch_size=4, cutoff=5.0)

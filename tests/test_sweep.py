@@ -84,3 +84,38 @@ def test_run_random_search_records_best(tmp_path):
     assert len(best) == 1
     vals = [l["metric"] for l in lines if "metric" in l]
     assert best[0]["best_metric"] == min(vals)
+
+
+def test_run_adaptive_search_concentrates(tmp_path):
+    """TPE-style adaptive search: after the random warmup, trials
+    concentrate near the optimum and the best metric beats the warmup
+    phase's (≙ reference Optuna sweeper)."""
+    import numpy as np
+
+    from gotennet_tpu.utils.sweep import run_adaptive_search
+
+    def fake_train(cfg):
+        return {"MeanAbsoluteError": abs(cfg["lr"] - 0.3)
+                + 0.5 * abs(cfg["k"] - 2)}
+
+    def load(extra):
+        cfg = {"lr": 0.0, "k": 1}
+        for ov in extra:
+            key, _, v = ov.partition("=")
+            if key == "lr":
+                cfg["lr"] = float(v)
+            elif key == "k":
+                cfg["k"] = int(v)
+        return cfg
+
+    out = run_adaptive_search(
+        fake_train, load, ["lr=uniform(0,1)", "k=int(1,4)"],
+        n_trials=24, seed=0, n_startup=6,
+        sweep_dir=str(tmp_path), metric="MeanAbsoluteError")
+    assert len(out) == 24
+    metrics = [r["MeanAbsoluteError"] for _, r in out]
+    # adaptive phase finds something at least as good as the warmup
+    assert min(metrics[6:]) <= min(metrics[:6])
+    assert min(metrics) < 0.08
+    # the exploitation phase concentrates: its mean beats the warmup's
+    assert np.mean(metrics[12:]) < np.mean(metrics[:6])
