@@ -319,12 +319,12 @@ def main():
     fused_htr = os.environ.get(
         "BENCH_FUSED_HTR",
         "1" if (dataset == "md22" and fused) else "0") == "1"
-    # remat: with the fused kernel the big pair tensors never become
+    # remat: with the fused kernels the big pair tensors never become
     # residuals (the custom_vjp saves only node tensors + softmax), so
     # block remat buys nothing and costs a forward recompute
     remat = os.environ.get(
         "BENCH_REMAT",
-        "0" if (fused and layout == "dense") else "1") == "1"
+        "0" if (fused and layout in ("dense", "ell")) else "1") == "1"
     cfg = GotenNetConfig(
         n_atom_basis=256, n_interactions=4, lmax=2, n_rbf=64, num_heads=8,
         attn_dropout=0.0, fused=fused, fused_htr=fused_htr, remat=remat,
