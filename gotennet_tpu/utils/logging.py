@@ -5,9 +5,11 @@ Equivalent of the reference's rank-zero-aware ``get_logger``
 ``jax.distributed`` run only process 0 emits info-level logs — plus
 the experiment-tracking capability of the reference's logger configs
 (/root/reference/gotennet/configs/logger/: wandb, tensorboard, csv,
-...).  ``make_logger`` builds a MetricLogger that always writes
-``metrics.jsonl`` and can additionally mirror records to CSV, W&B
-(gated import), and TensorBoard event files.
+mlflow, neptune, comet, many_loggers).  ``make_logger`` builds a
+MetricLogger that always writes ``metrics.jsonl`` and can
+additionally mirror records to CSV, W&B, MLflow, Neptune, Comet
+(all gated imports) and TensorBoard event files; a comma-separated
+backend string activates several sinks at once (≙ many_loggers).
 """
 
 from __future__ import annotations
@@ -72,14 +74,19 @@ class MetricLogger:
         self._csv_files: Dict[str, Any] = {}   # phase -> (file, columns)
         self._wandb = None
         self._mlflow = None
+        self._neptune = None
+        self._comet = None
         self._tb = None
         if not self._main:
             return
         os.makedirs(workdir, exist_ok=True)
         self._jsonl = open(os.path.join(workdir, "metrics.jsonl"), "a")
-        if backend == "csv":
+        # comma-separated backends mirror every record to several sinks
+        # at once (≙ reference configs/logger/many_loggers.yaml)
+        backends = {b.strip() for b in backend.split(",") if b.strip()}
+        if "csv" in backends:
             self._csv_enabled = True
-        elif backend == "wandb":
+        if "wandb" in backends:
             try:
                 import wandb
                 self._wandb = wandb.init(
@@ -88,7 +95,7 @@ class MetricLogger:
             except Exception as e:  # wandb absent or offline init failure
                 get_logger().warning(
                     "wandb backend unavailable (%s); JSONL only", e)
-        elif backend == "mlflow":
+        if "mlflow" in backends:
             # ≙ reference configs/logger/mlflow.yaml; gated import —
             # mlflow isn't baked into this image, JSONL always remains
             try:
@@ -103,7 +110,27 @@ class MetricLogger:
             except Exception as e:
                 get_logger().warning(
                     "mlflow backend unavailable (%s); JSONL only", e)
-        if tensorboard:
+        if "neptune" in backends:
+            # ≙ reference configs/logger/neptune.yaml (gated import)
+            try:
+                import neptune
+                self._neptune = neptune.init_run(
+                    project=os.environ.get("NEPTUNE_PROJECT"),
+                    name=os.environ.get("NEPTUNE_RUN_NAME"))
+            except Exception as e:
+                get_logger().warning(
+                    "neptune backend unavailable (%s); JSONL only", e)
+        if "comet" in backends:
+            # ≙ reference configs/logger/comet.yaml (gated import)
+            try:
+                import comet_ml
+                self._comet = comet_ml.Experiment(
+                    project_name=os.environ.get(
+                        "COMET_PROJECT", "gotennet_tpu"))
+            except Exception as e:
+                get_logger().warning(
+                    "comet backend unavailable (%s); JSONL only", e)
+        if tensorboard or "tensorboard" in backends:
             try:
                 from tensorboardX import SummaryWriter
                 self._tb = SummaryWriter(os.path.join(workdir, "tb"))
@@ -143,6 +170,15 @@ class MetricLogger:
                 {f"{phase}/{k}": float(v) for k, v in rec.items()
                  if isinstance(v, (int, float)) and np.isfinite(v)},
                 step=step)
+        if self._neptune is not None:
+            for k, v in rec.items():
+                if isinstance(v, (int, float)) and np.isfinite(v):
+                    self._neptune[f"{phase}/{k}"].append(v, step=step)
+        if self._comet is not None:
+            self._comet.log_metrics(
+                {k: v for k, v in rec.items()
+                 if isinstance(v, (int, float)) and np.isfinite(v)},
+                prefix=phase, step=step)
         if self._tb is not None:
             for k, v in rec.items():
                 if k in ("phase", "step", "epoch"):
@@ -161,6 +197,10 @@ class MetricLogger:
             self._wandb.finish()
         if self._mlflow is not None:
             self._mlflow.end_run()
+        if self._neptune is not None:
+            self._neptune.stop()
+        if self._comet is not None:
+            self._comet.end()
 
 
 def make_logger(workdir: str, backend: str = "jsonl",

@@ -170,6 +170,21 @@ def test_csv_logger_backend(tmp_path):
     assert jl[-1]["loss"] == 0.25
 
 
+def test_multi_backend_logger(tmp_path):
+    """Comma-separated backends (≙ reference many_loggers.yaml):
+    csv activates alongside gated backends whose packages are absent
+    (neptune/comet degrade to a warning, JSONL+CSV still written)."""
+    from gotennet_tpu.utils.logging import make_logger
+    lg = make_logger(str(tmp_path), "csv,neptune,comet")
+    lg.log({"phase": "train", "step": 1, "loss": 1.5})
+    lg.close()
+    assert os.path.exists(os.path.join(str(tmp_path),
+                                       "metrics_train.csv"))
+    jl = [json.loads(l) for l in
+          open(os.path.join(str(tmp_path), "metrics.jsonl"))]
+    assert jl[-1]["loss"] == 1.5
+
+
 def test_data_parallel_fused_dense(tmp_path):
     """Data-parallel training of the fused-kernel dense model (Pallas
     interpret on the CPU mesh) == single-device grad-accum training:
