@@ -265,6 +265,45 @@ def test_ell_data_parallel_trainer(tmp_path):
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("spatial", [False, True],
+                         ids=["take", "windowed"])
+def test_ell_fused_data_parallel_trainer(tmp_path, spatial):
+    """Fused Pallas ELL kernel (interpret on the CPU mesh) under the
+    data-parallel Trainer == single-device grad-accum: the custom_vjp
+    composes with shard_map/psum — the multi-chip 10^3-atom path.
+    Covered with both neighbor-lookup modes (plain take and the
+    windowed one-hot gathers used at spatial scale)."""
+    import dataclasses
+
+    from gotennet_tpu.models.model import GotenModel
+    from gotennet_tpu.tasks.qm9 import QM9Task
+    from gotennet_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = dataclasses.replace(_cfg(lmax=1), fused=True, remat=False)
+    ds = synthetic_molecules(8, seed=0, min_atoms=5, max_atoms=10)
+    task = QM9Task("U0", dataset_meta={"mean": float(ds.y.mean()),
+                                       "std": float(ds.y.std())})
+    model = GotenModel(cfg, task.build_head(), layout="ell")
+    loader = ELLLoader(ds, batch_size=2, cutoff=cfg.cutoff,
+                       spatial_sort=spatial,
+                       block_rows=8 if spatial else None)
+    params = model.init(jax.random.PRNGKey(0), next(iter(loader)))
+
+    t_acc = Trainer(model, task, TrainerConfig(
+        lr=1e-3, max_epochs=1, scheduler="none", grad_accum_steps=2,
+        workdir=str(tmp_path / "a")))
+    p_acc, h_acc = t_acc.fit(params, loader, loader)
+    t_dp = Trainer(model, task, TrainerConfig(
+        lr=1e-3, max_epochs=1, scheduler="none", data_parallel=2,
+        workdir=str(tmp_path / "p")))
+    p_dp, h_dp = t_dp.fit(params, loader, loader)
+    for a, b in zip(jax.tree.leaves(p_acc), jax.tree.leaves(p_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+    assert np.isclose(h_acc[-1]["val_loss"], h_dp[-1]["val_loss"],
+                      rtol=2e-4)
+
+
 def test_cli_smoke_ell_layout(tmp_path):
     from gotennet_tpu.cli import CONFIG_DIR, train
     from gotennet_tpu.utils.config import load_config
