@@ -52,18 +52,24 @@ _NEG = -1e30
 _SOFTMAX_EPS = 1e-16  # PyG softmax denominator guard, for path parity
 
 
-def _window_gather_meta(nbr, window: int, block_rows: int):
+def _window_gather_meta(nbr, window: int, block_rows: int,
+                        n_table: "int | None" = None):
     """Precompute the windowed-gather operands (a pytree, so it can
     cross flax.remat boundaries as a call argument): per-block window
     starts and the [NB, TB*K, window] one-hot selector.
 
     The window bound is guaranteed by the collator: it computed
     ``window`` as the max over blocks of (max(nbr) - min(nbr) + 1)
-    and this derives each block's start as min(nbr)."""
+    and this derives each block's start as min(nbr).  ``n_table`` is
+    the source-table row count (defaults to the row count; they
+    differ under row sharding, where ``nbr`` holds only this shard's
+    rows but indexes the full node table)."""
     N, K = nbr.shape
+    if n_table is None:
+        n_table = N
     nb_blocks = N // block_rows
     nb = nbr.reshape(nb_blocks, block_rows * K)
-    ws = jnp.clip(jnp.min(nb, axis=1), 0, max(N - window, 0))
+    ws = jnp.clip(jnp.min(nb, axis=1), 0, max(n_table - window, 0))
     rel = nb - ws[:, None]
     onehot = rel[..., None] == jax.lax.broadcasted_iota(
         jnp.int32, (nb_blocks, block_rows * K, window), 2)
@@ -96,7 +102,7 @@ def _gather_fn(nbr, gmeta, dtype):
     def gather(x, gdtype=None):
         gd = dtype if gdtype is None else gdtype
         feat = x.shape[1:]
-        xf = x.reshape(N, -1)
+        xf = x.reshape(x.shape[0], -1)  # table rows >= N under sharding
         xw = jax.vmap(lambda s: jax.lax.dynamic_slice(
             xf, (s, 0), (window, xf.shape[1])))(ws)  # [NB, W, F]
         out = jax.lax.dot_general(
@@ -107,6 +113,34 @@ def _gather_fn(nbr, gmeta, dtype):
             out = out.astype(x.dtype)
         return out.reshape(N, K, *feat)
     return gather
+
+
+def _shard_rows(ax, n_total: int):
+    """Row-sharding helpers for multi-chip ELL execution.
+
+    Returns ``(rows, unshard, start, n_rows)``: ``rows(x)`` slices
+    this device's contiguous destination-row block out of a
+    replicated ``[N, ...]`` array; ``unshard(x_local)`` reassembles
+    per-row results into the replicated full array by zero-padding
+    and ``psum`` over ``ax`` (rows are disjoint across devices, so
+    the sum is a concatenation — the ELL analog of the edge layout's
+    psum-augmented segment reductions, graph/segment.py).  With
+    ``ax=None`` both are identity (single-device semantics)."""
+    if ax is None:
+        return (lambda x: x), (lambda x: x), 0, n_total
+    n_shards = jax.lax.psum(1, ax)
+    n_rows = n_total // n_shards
+    start = jax.lax.axis_index(ax) * n_rows
+
+    def rows(x):
+        return jax.lax.dynamic_slice_in_dim(x, start, n_rows, 0)
+
+    def unshard(x_local):
+        full = jnp.zeros((n_total,) + x_local.shape[1:], x_local.dtype)
+        full = jax.lax.dynamic_update_slice_in_dim(full, x_local,
+                                                   start, 0)
+        return jax.lax.psum(full, ax)
+    return rows, unshard, start, n_rows
 
 
 def _aggr_k(aggr: str, data, mask):
@@ -129,7 +163,12 @@ def _aggr_k(aggr: str, data, mask):
 
 
 class NodeInitELL(fnn.Module):
-    """NodeInit in ELL layout (same params as models.gotennet.NodeInit)."""
+    """NodeInit in ELL layout (same params as models.gotennet.NodeInit).
+
+    Under row sharding (``GotenNetELL`` edge_axis): ``h`` holds this
+    device's center rows, ``z`` stays full (it feeds the neighbor
+    species table), and pair inputs hold local rows — the output is
+    local rows for the caller to ``unshard``."""
 
     cfg: GotenNetConfig
 
@@ -154,7 +193,16 @@ class NodeInitELL(fnn.Module):
 
 
 class GATAELL(fnn.Module):
-    """GATA in ELL layout (same params as models.gotennet.GATA)."""
+    """GATA in ELL layout (same params as models.gotennet.GATA).
+
+    Under row sharding (``cfg.edge_axis`` set, inside shard_map):
+    node state ``h``/``X`` arrives replicated; pair inputs (``t_ij``,
+    ``rl_ij``, ``dist``, ``nbr``, ``nbr_mask``, ``n_edges``) hold only
+    this device's destination rows.  The destination-keyed query uses
+    the local row slice, source tables (k/x_g/v/X, HTR EK) stay
+    replicated for the gathers, per-row aggregates are reassembled by
+    pad+psum (``_shard_rows``), and the edge state stays local — the
+    graph analog of sequence parallelism."""
 
     cfg: GotenNetConfig
     last_layer: bool = False
@@ -174,6 +222,7 @@ class GATAELL(fnn.Module):
         evec_dim = cfg.evec_dim or D
         emlp_dim = cfg.emlp_dim or D
         N, K = nbr.shape
+        rows, unshard, _, _ = _shard_rows(cfg.edge_axis, h.shape[0])
         dense_kw = dict(weight_init=cfg.weight_init, bias_init=cfg.bias_init)
 
         if cfg.layernorm:
@@ -182,7 +231,7 @@ class GATAELL(fnn.Module):
             X = TensorLayerNorm(D, cfg.lmax, trainable=False,
                                 name="tensor_layernorm")(X)
 
-        q = Dense(D, activation=None, **dense_kw, name="W_q")(h)
+        q = Dense(D, activation=None, **dense_kw, name="W_q")(rows(h))
         k = Dense(D, activation=None, **dense_kw, name="W_k")(h)
 
         x_g = Dense(D, activation=act, **dense_kw, name="gamma_s_0")(h)
@@ -222,24 +271,27 @@ class GATAELL(fnn.Module):
             d_h, dX_agg = fused_fn(t_ij, q, k, x_g, v, rl_ij, X,
                                    env_signed, scale, nbr,
                                    wre_k, wre_b, wrs_k, wrs_b)
-            h = h + d_h
-            X = X + dX_agg
+            h = h + unshard(d_h)
+            X = X + unshard(dX_agg)
         else:
             h, X = self._unfused_message(
                 cfg, act, h, X, t_ij, rl_ij, dist, nbr, nbr_mask,
                 n_edges, q, k, x_g, v, gth, N, K, D, H, Dh, mult,
-                dense_kw)
+                dense_kw, unshard)
 
         # ---- HTR edge update ---------------------------------------
         return self._edge_update(cfg, act, h, X, t_ij, rl_ij, gth,
                                  info, evec_dim, emlp_dim, N, K,
-                                 dense_kw)
+                                 dense_kw, rows)
 
     def _unfused_message(self, cfg, act, h, X, t_ij, rl_ij, dist, nbr,
                          nbr_mask, n_edges, q, k, x_g, v, gth, N, K, D,
-                         H, Dh, mult, dense_kw):
+                         H, Dh, mult, dense_kw, unshard=lambda x: x):
         """XLA message+aggregate (any aggr/activation; the oracle for
-        the fused kernel)."""
+        the fused kernel).  ``N`` is the (possibly local) destination
+        row count; ``q`` holds those rows, the gathers read the
+        replicated tables, and ``unshard`` reassembles the per-row
+        aggregates (identity on a single device)."""
         t_attn = Dense(D, activation=act, **dense_kw, name="W_re")(t_ij)
         t_filter = Dense(mult * D, activation=None, **dense_kw,
                          name="W_rs")(t_ij)  # [N, K, mult*D]
@@ -289,19 +341,23 @@ class GATAELL(fnn.Module):
         dX = dX_R + dX_X  # [N, K, L, D]
 
         # ---- aggregate over K -----------------------------------------
-        h = h + _aggr_k(cfg.aggr, o_s, nbr_mask)
-        X = X + _aggr_k(cfg.aggr, dX, nbr_mask)
+        h = h + unshard(_aggr_k(cfg.aggr, o_s, nbr_mask))
+        X = X + unshard(_aggr_k(cfg.aggr, dX, nbr_mask))
         return h, X
 
     def _edge_update(self, cfg, act, h, X, t_ij, rl_ij, gth, info,
-                     evec_dim, emlp_dim, N, K, dense_kw):
+                     evec_dim, emlp_dim, N, K, dense_kw,
+                     rows=lambda x: x):
         """HTR edge update (skipped on the last layer, reference
-        gotennet.py:874)."""
+        gotennet.py:874).  Pair-local throughout: the center term
+        takes this device's row slice (``rows``), the EK table stays
+        replicated for the gather, and the updated edge state remains
+        row-local."""
         if self.last_layer or not cfg.edge_updates:
             return h, X, t_ij
         D = cfg.n_atom_basis
         EQ = Dense(evec_dim, use_bias=False, activation=None,
-                   **dense_kw, name="W_vq")(X)  # [N, L, C]
+                   **dense_kw, name="W_vq")(rows(X))  # center rows [*, L, C]
         if cfg.sep_htr:
             blocks = []
             for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
@@ -377,23 +433,35 @@ class GotenNetELL(fnn.Module):
                  deterministic: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
         z, pos = batch.z, batch.pos
-        nbr, nm = batch.nbr, batch.nbr_mask
-        N, K = nbr.shape
+        N, K = batch.nbr.shape
         D = cfg.n_atom_basis
+
+        # multi-chip row sharding (cfg.edge_axis, inside shard_map):
+        # the batch arrives replicated, each device owns a contiguous
+        # block of N/n_shards destination rows — pair tensors and the
+        # edge state live only on the owner, node state is reassembled
+        # by psum after each aggregation
+        ax = cfg.edge_axis
+        if ax is not None and N % jax.lax.psum(1, ax):
+            raise ValueError(
+                f"node capacity {N} not divisible by the "
+                f"'{ax}'-axis size {jax.lax.psum(1, ax)}")
+        rows, unshard, start, NR = _shard_rows(ax, N)
+        nbr, nm = rows(batch.nbr), rows(batch.nbr_mask)
 
         # neighbor lookups: windowed one-hot matmuls when the batch
         # carries window metadata (the 10^3-atom path), else plain take
         gmeta = None
         if batch.gather_window and batch.block_rows:
             gmeta = _window_gather_meta(nbr, batch.gather_window,
-                                        batch.block_rows)
+                                        batch.block_rows, n_table=N)
         gth = _gather_fn(nbr, gmeta, cfg.pair_dtype)
 
         # neighbor geometry (src − dst convention, reference
         # layers.py:1589-1600: self-loop distance pinned to 0);
         # positions gather in f32 — geometry must stay exact
-        vec = gth(pos, jnp.float32) - pos[:, None, :]  # [N, K, 3]
-        self_idx = jnp.arange(N, dtype=nbr.dtype)[:, None]
+        vec = gth(pos, jnp.float32) - rows(pos)[:, None, :]  # [NR, K, 3]
+        self_idx = (jnp.arange(NR, dtype=nbr.dtype) + start)[:, None]
         nonloop = nm & (nbr != self_idx)
         d2 = jnp.sum(vec ** 2, axis=-1)
         dist = jnp.where(nonloop, jnp.sqrt(jnp.where(nonloop, d2, 1.0)),
@@ -401,24 +469,26 @@ class GotenNetELL(fnn.Module):
         vec_n = jnp.where(nonloop[..., None],
                           vec / jnp.where(nonloop, dist, 1.0)[..., None],
                           vec * 0.0)
-        rl_ij = spherical_harmonics(vec_n, cfg.lmax)  # [N, K, L]
+        rl_ij = spherical_harmonics(vec_n, cfg.lmax)  # [NR, K, L]
 
         a_na = self.param("A_na", _zero_padded_embed_init,
                           (cfg.max_z, D), jnp.float32)
-        h = a_na[z]  # [N, D]
+        h = a_na[z]  # [N, D] (replicated)
 
         rbf_params, rbf_fn = get_rbf(cfg.radial_basis, cfg.n_rbf, cfg.cutoff)
-        phi = rbf_fn(dist, rbf_params)  # [N, K, R]
+        phi = rbf_fn(dist, rbf_params)  # [NR, K, R]
 
-        h = NodeInitELL(cfg, name="node_init")(z, h, nbr, dist, phi,
-                                               nonloop, gmeta=gmeta)
-        t_ij = EdgeInitELL(cfg, name="edge_init")(phi, h, nbr, gmeta=gmeta)
+        h = unshard(NodeInitELL(cfg, name="node_init")(
+            z, rows(h), nbr, dist, phi, nonloop, gmeta=gmeta))
+        t_ij = EdgeInitELL(cfg, name="edge_init")(phi, h, nbr,
+                                                  gmeta=gmeta,
+                                                  h_rows=rows(h))
 
         # per-source real-edge counts (reference gotennet.py:986-989);
         # the one remaining scatter — [N*K] scalars, negligible
         counts = segment_sum(nm.reshape(-1).astype(h.dtype),
-                             nbr.reshape(-1), N)
-        n_edges = gth(counts[:, None], jnp.float32)[..., 0]  # [N, K]
+                             nbr.reshape(-1), N, psum_axis=ax)
+        n_edges = gth(counts[:, None], jnp.float32)[..., 0]  # [NR, K]
 
         X = jnp.zeros((N, cfg.sh_dim, D), h.dtype)
         gata_cls = fnn.remat(GATAELL) if cfg.remat else GATAELL
@@ -433,14 +503,21 @@ class GotenNetELL(fnn.Module):
 
 
 class EdgeInitELL(fnn.Module):
-    """EdgeInit in ELL layout (same params as models.gotennet.EdgeInit)."""
+    """EdgeInit in ELL layout (same params as models.gotennet.EdgeInit).
+
+    ``h_rows`` is this device's destination-row slice of ``h`` under
+    row sharding (defaults to ``h`` on a single device); ``h`` itself
+    is the replicated source table for the neighbor gather."""
 
     cfg: GotenNetConfig
 
     @fnn.compact
-    def __call__(self, phi, h, nbr, gmeta=None) -> jnp.ndarray:
+    def __call__(self, phi, h, nbr, gmeta=None,
+                 h_rows=None) -> jnp.ndarray:
+        if h_rows is None:
+            h_rows = h
         gth = _gather_fn(nbr, gmeta, self.cfg.pair_dtype)
         w = Dense(self.cfg.n_atom_basis, activation=None,
                   weight_init="xavier_uniform", bias_init="zeros",
-                  name="W_erp")(phi)  # [N, K, D]
-        return (h[:, None, :] + gth(h)) * w
+                  name="W_erp")(phi)  # [NR, K, D]
+        return (h_rows[:, None, :] + gth(h)) * w

@@ -142,6 +142,13 @@ def apply_with_forces(model: GotenModel, params, batch: GraphBatch,
         return jnp.sum(out["property"]), out
 
     (_, out), dy = jax.value_and_grad(energy_fn, has_aux=True)(batch.pos)
+    if model.cfg.edge_axis is not None:
+        # graph-sharded execution (edge partitioning / ELL row
+        # sharding inside shard_map): each device's dE/dpos carries
+        # only its own pair shard's contributions, scaled by the
+        # shard count through the in-forward psum transpose — pmean
+        # over the axis restores the exact full-graph forces
+        dy = jax.lax.pmean(dy, model.cfg.edge_axis)
     sign = -1.0 if model.head.negative_dr else 1.0
     out["forces"] = sign * dy * batch.node_mask[:, None]
     return out

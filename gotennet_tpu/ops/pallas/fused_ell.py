@@ -68,7 +68,12 @@ def _ell_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref,
                 brs_ref, dh_ref, dx_ref, attn_ref, *, TB, K, N, D, H,
                 lmax, mult, sep_dir, sep_tensor, pair_dtype):
     """One grid step = one TB-row destination block; all K neighbor
-    slots of each row are resident, so the softmax is exact."""
+    slots of each row are resident, so the softmax is exact.
+
+    ``N`` is the SOURCE-TABLE row count; the destination-row count may
+    be smaller (row-sharded multi-chip execution: each device holds
+    its rows' pairs, tables replicated — see GotenNetELL edge_axis).
+    """
     f32 = jnp.float32
     pd = pair_dtype
     TBK = TB * K
@@ -158,18 +163,22 @@ def _pallas_ell_forward(t, q, k, x_g, v, rl, X, env_signed, scale, nbr,
     [N, K, H] as the third output (the VJP residual).
 
     Args:
-        t: [N, K, D] edge state; rl: [N, K, L]; env_signed: [N, K]
+        t: [NR, K, D] edge state; rl: [NR, K, L]; env_signed: [NR, K]
             (= cutoff for valid slots, -1 for padded — sign is the
-            mask); scale: [N, K] or per-head [N, K, H] (attention
-            dropout folds in here); nbr: [N, K] int32 source indices.
-        q, k: [N, D]; x_g, v: [N, mult*D]; X: [N, L, D].
+            mask); scale: [NR, K] or per-head [NR, K, H] (attention
+            dropout folds in here); nbr: [NR, K] int32 source indices
+            into the tables.
+        q: [NR, D] destination rows; source tables k: [N, D];
+            x_g, v: [N, mult*D]; X: [N, L, D].  ``NR == N`` on a
+            single device; under row sharding NR = N / n_shards.
     """
-    N, K, D = t.shape
+    NR, K, D = t.shape
+    N = k.shape[0]
     L = rl.shape[-1]
     H = num_heads
     mult = W_rs.shape[1] // D
-    TB = _pick_rows(N, K, max_pairs)
-    NB = N // TB
+    TB = _pick_rows(NR, K, max_pairs)
+    NB = NR // TB
     SH = H if scale.ndim == 3 else 1
 
     kern = functools.partial(
@@ -193,9 +202,9 @@ def _pallas_ell_forward(t, q, k, x_g, v, rl, X, env_signed, scale, nbr,
                             memory_space=pltpu.VMEM)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((N, D), jnp.float32),
-        jax.ShapeDtypeStruct((N, L, D), jnp.float32),
-        jax.ShapeDtypeStruct((N * K, H), jnp.float32),
+        jax.ShapeDtypeStruct((NR, D), jnp.float32),
+        jax.ShapeDtypeStruct((NR, L, D), jnp.float32),
+        jax.ShapeDtypeStruct((NR * K, H), jnp.float32),
     )
     d_h, dX, attn = pl.pallas_call(
         kern,
@@ -211,12 +220,12 @@ def _pallas_ell_forward(t, q, k, x_g, v, rl, X, env_signed, scale, nbr,
         out_specs=(rspec(D), rspec(L, D), pspec(H)),
         out_shape=out_shapes,
         interpret=interpret,
-    )(t.reshape(N * K, D), q, k, x_g, v,
-      rl.reshape(N * K, L), X,
-      env_signed.reshape(N * K, 1), scale.reshape(N * K, SH),
-      nbr.reshape(N * K, 1).astype(jnp.int32),
+    )(t.reshape(NR * K, D), q, k, x_g, v,
+      rl.reshape(NR * K, L), X,
+      env_signed.reshape(NR * K, 1), scale.reshape(NR * K, SH),
+      nbr.reshape(NR * K, 1).astype(jnp.int32),
       W_re, b_re.reshape(1, D), W_rs, b_rs.reshape(1, mult * D))
-    return d_h, dX, attn.reshape(N, K, H)
+    return d_h, dX, attn.reshape(NR, K, H)
 
 
 def fused_ell_message(t, q, k, x_g, v, rl, X, env_signed, scale, nbr,
@@ -444,12 +453,13 @@ def _pallas_ell_backward(t, q, k, x_g, v, rl, X, env_signed, scale, nbr,
                          lmax: int, num_heads: int, sep_dir: bool,
                          sep_tensor: bool, interpret: bool = False,
                          pair_dtype=jnp.float32, max_pairs: int = 4096):
-    N, K, D = t.shape
+    NR, K, D = t.shape
+    N = k.shape[0]
     L = rl.shape[-1]
     H = num_heads
     mult = W_rs.shape[1] // D
-    TB = _pick_rows(N, K, max_pairs // 2)   # bwd working set ~2x fwd
-    NB = N // TB
+    TB = _pick_rows(NR, K, max_pairs // 2)  # bwd working set ~2x fwd
+    NB = NR // TB
     SH = H if scale.ndim == 3 else 1
 
     kern = functools.partial(
@@ -472,15 +482,15 @@ def _pallas_ell_backward(t, q, k, x_g, v, rl, X, env_signed, scale, nbr,
 
     f32 = jnp.float32
     out_shapes = (
-        jax.ShapeDtypeStruct((N * K, D), f32),          # g_t
-        jax.ShapeDtypeStruct((N, D), f32),              # g_q
+        jax.ShapeDtypeStruct((NR * K, D), f32),         # g_t
+        jax.ShapeDtypeStruct((NR, D), f32),             # g_q
         jax.ShapeDtypeStruct((N, D), f32),              # g_k
         jax.ShapeDtypeStruct((N, mult * D), f32),       # g_xg
         jax.ShapeDtypeStruct((N, mult * D), f32),       # g_v
-        jax.ShapeDtypeStruct((N * K, L), f32),          # g_rl
+        jax.ShapeDtypeStruct((NR * K, L), f32),         # g_rl
         jax.ShapeDtypeStruct((N, L, D), f32),           # g_X
-        jax.ShapeDtypeStruct((N * K, 1), f32),          # g_env
-        jax.ShapeDtypeStruct((N * K, SH), f32),         # g_scale
+        jax.ShapeDtypeStruct((NR * K, 1), f32),         # g_env
+        jax.ShapeDtypeStruct((NR * K, SH), f32),        # g_scale
         jax.ShapeDtypeStruct((D, D), f32),              # g_Wre
         jax.ShapeDtypeStruct((1, D), f32),              # g_bre
         jax.ShapeDtypeStruct((D, mult * D), f32),       # g_Wrs
@@ -506,17 +516,17 @@ def _pallas_ell_backward(t, q, k, x_g, v, rl, X, env_signed, scale, nbr,
         ),
         out_shape=out_shapes,
         interpret=interpret,
-    )(t.reshape(N * K, D), q, k, x_g, v,
-      rl.reshape(N * K, L), X,
-      env_signed.reshape(N * K, 1), scale.reshape(N * K, SH),
-      nbr.reshape(N * K, 1).astype(jnp.int32),
+    )(t.reshape(NR * K, D), q, k, x_g, v,
+      rl.reshape(NR * K, L), X,
+      env_signed.reshape(NR * K, 1), scale.reshape(NR * K, SH),
+      nbr.reshape(NR * K, 1).astype(jnp.int32),
       W_re, b_re.reshape(1, D), W_rs, b_rs.reshape(1, mult * D),
-      sm.reshape(N * K, H), g_dh, g_dX)
+      sm.reshape(NR * K, H), g_dh, g_dX)
     (g_t, g_q, g_k, g_xg, g_v, g_rl, g_X, g_env, g_scale,
      g_Wre, g_bre, g_Wrs, g_brs) = outs
-    return (g_t.reshape(N, K, D), g_q, g_k, g_xg, g_v,
-            g_rl.reshape(N, K, L), g_X, g_env.reshape(N, K),
-            g_scale.reshape((N, K, H) if SH == H else (N, K)),
+    return (g_t.reshape(NR, K, D), g_q, g_k, g_xg, g_v,
+            g_rl.reshape(NR, K, L), g_X, g_env.reshape(NR, K),
+            g_scale.reshape((NR, K, H) if SH == H else (NR, K)),
             g_Wre, g_bre.reshape(D), g_Wrs, g_brs.reshape(mult * D))
 
 

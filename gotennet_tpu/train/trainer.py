@@ -124,9 +124,12 @@ class TrainerConfig:
     grad_accum_steps: int = 1
     # Device mesh: data_parallel x edge_parallel devices.  1 x 1 =
     # single-device.  data: batches sharded per device, grads pmean'd.
-    # edge: each batch's edge list additionally split across devices
-    # (segment reductions psum over the axis) — for graphs too big for
-    # one chip's HBM.  Replaces the reference's Lightning DDP.
+    # edge: each batch's graph additionally split across devices — the
+    # 'edge' layout shards the edge list (segment reductions psum over
+    # the axis), the 'ell' layout shards destination rows (pair
+    # tensors and edge state live on the owning device, node state
+    # reassembled by psum) — for graphs too big for one chip.
+    # Replaces the reference's Lightning DDP.
     data_parallel: int = 1
     edge_parallel: int = 1
     # Multi-HOST (multi-process) execution: the mesh spans every
@@ -217,9 +220,12 @@ class Trainer:
                     f"data_parallel ({cfg.data_parallel}) must divide "
                     f"evenly over {self.n_proc} processes")
         if n_dev > 1:
-            if cfg.edge_parallel > 1 and model.layout != "edge":
+            if cfg.edge_parallel > 1 and model.layout not in ("edge",
+                                                              "ell"):
                 raise ValueError(
-                    "edge_parallel > 1 requires the 'edge' layout")
+                    "edge_parallel > 1 requires the 'edge' layout "
+                    "(edge partitioning) or 'ell' (destination-row "
+                    "sharding)")
             from gotennet_tpu.parallel import make_mesh
             self.mesh = make_mesh((cfg.data_parallel, cfg.edge_parallel),
                                   axis_names=("data", "edge"))

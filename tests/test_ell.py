@@ -304,6 +304,118 @@ def test_ell_fused_data_parallel_trainer(tmp_path, spatial):
                       rtol=2e-4)
 
 
+@pytest.mark.parametrize("variant", ["take", "windowed", "fused"])
+def test_ell_row_sharded_forward_matches_single(variant):
+    """Destination-row sharding (cfg.edge_axis inside shard_map) ==
+    single-device forward, for all three neighbor-lookup modes: the
+    multi-chip path for one molecule too big for a chip."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    from gotennet_tpu.parallel import make_mesh
+
+    mesh = make_mesh((1, 2), axis_names=("data", "edge"))
+    cfg = _cfg(lmax=1)
+    if variant == "fused":
+        cfg = dataclasses.replace(cfg, fused=True, remat=False)
+    ds = synthetic_molecules(6, seed=0, min_atoms=6, max_atoms=10)
+    loader = ELLLoader(ds, batch_size=6, cutoff=cfg.cutoff,
+                       node_capacity=64,
+                       spatial_sort=(variant == "windowed"),
+                       block_rows=8 if variant == "windowed" else None)
+    batch = next(iter(loader))
+    assert batch.num_nodes % 2 == 0
+    model = GotenNetELL(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    h_ref, X_ref = model.apply(params, batch)
+
+    model_par = GotenNetELL(dataclasses.replace(cfg, edge_axis="edge"))
+    mapped = jax.shard_map(
+        lambda b: model_par.apply(params, b), mesh=mesh,
+        in_specs=(P(),), out_specs=(P(), P()), check_vma=False)
+    h_par, X_par = jax.jit(mapped)(batch)
+    np.testing.assert_allclose(np.asarray(h_par), np.asarray(h_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(X_par), np.asarray(X_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ell_row_sharded_trainer(tmp_path):
+    """Trainer edge_parallel=2 with the ELL layout (row sharding)
+    produces the same parameter update as the single-device fit."""
+    from gotennet_tpu.models.model import GotenModel
+    from gotennet_tpu.tasks.qm9 import QM9Task
+    from gotennet_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = _cfg(lmax=1)
+    ds = synthetic_molecules(8, seed=0, min_atoms=5, max_atoms=10)
+    task = QM9Task("U0", dataset_meta={"mean": float(ds.y.mean()),
+                                       "std": float(ds.y.std())})
+    model = GotenModel(cfg, task.build_head(), layout="ell")
+    loader = ELLLoader(ds, batch_size=4, cutoff=cfg.cutoff,
+                       node_capacity=48)
+    params = model.init(jax.random.PRNGKey(0), next(iter(loader)))
+
+    t_ser = Trainer(model, task, TrainerConfig(
+        lr=1e-3, max_epochs=1, scheduler="none",
+        workdir=str(tmp_path / "s")))
+    p_ser, _ = t_ser.fit(params, loader, loader)
+    t_rp = Trainer(model, task, TrainerConfig(
+        lr=1e-3, max_epochs=1, scheduler="none", edge_parallel=2,
+        workdir=str(tmp_path / "r")))
+    p_rp, _ = t_rp.fit(params, loader, loader)
+    for a, b in zip(jax.tree.leaves(p_ser), jax.tree.leaves(p_rp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("layout", ["edge", "ell"])
+def test_forces_match_under_graph_sharding(layout):
+    """forces = -dE/dpos from the graph-sharded model (edge partition
+    or ELL row sharding) == the serial forces: the inner force grad is
+    pmean'd over the axis (each device's dE/dpos carries only its own
+    pair shard's contributions, scaled by the in-forward psum
+    transpose)."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    from gotennet_tpu.data.dataset import BatchLoader
+    from gotennet_tpu.models.model import (
+        GotenModel, HeadConfig, apply_with_forces)
+    from gotennet_tpu.parallel import make_mesh
+    from gotennet_tpu.parallel.data_parallel import batch_pspec
+
+    mesh = make_mesh((1, 2), axis_names=("data", "edge"))
+    cfg = _cfg(lmax=1)
+    head = HeadConfig(kind="atomwise", derivative=True)
+    ds = synthetic_molecules(4, seed=0, min_atoms=5, max_atoms=9)
+    if layout == "edge":
+        loader = BatchLoader(ds, batch_size=4, cutoff=cfg.cutoff,
+                             edge_capacity=512)
+        bspec = jax.tree.map(lambda s: P(*s[1:]) if s else P(),
+                             batch_pspec("edge"))
+    else:
+        loader = ELLLoader(ds, batch_size=4, cutoff=cfg.cutoff,
+                           node_capacity=48)
+        bspec = P()
+    batch = next(iter(loader))
+    model = GotenModel(cfg, head, layout=layout)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    ref = apply_with_forces(model, params, batch)
+
+    model_par = GotenModel(dataclasses.replace(cfg, edge_axis="edge"),
+                           head, layout=layout)
+    mapped = jax.shard_map(
+        lambda b: apply_with_forces(model_par, params, b)["forces"],
+        mesh=mesh, in_specs=(bspec,), out_specs=P(), check_vma=False)
+    forces_par = jax.jit(mapped)(batch)
+    np.testing.assert_allclose(np.asarray(forces_par),
+                               np.asarray(ref["forces"]),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_cli_smoke_ell_layout(tmp_path):
     from gotennet_tpu.cli import CONFIG_DIR, train
     from gotennet_tpu.utils.config import load_config
