@@ -103,6 +103,24 @@ def main() -> int:
                                rtol=2e-2, atol=3e-2)
     print("N=640 multi-block forward ok", file=sys.stderr)
 
+    # row-sharded slice (multi-chip path): pair rows [16, 40) against
+    # the full 48-row tables — compiled forward vs oracle
+    full = tuple(jnp.asarray(a) for a in _random_inputs(
+        5, N=48, K=8, D=32, H=H, lmax=lmax, sep_dir=True,
+        sep_tensor=True))
+    row_args = {0, 1, 5, 7, 8, 9}  # t, q, rl, env, scale, nbr
+    sliced = tuple(a[16:40] if i in row_args else a
+                   for i, a in enumerate(full))
+    d_h, dX, _ = fused_ell_message(
+        *sliced, lmax=lmax, num_heads=H, sep_dir=True, sep_tensor=True,
+        interpret=False)
+    e_dh, e_dX = _jnp_oracle(*sliced, lmax, H, True, True)
+    np.testing.assert_allclose(np.asarray(d_h), np.asarray(e_dh),
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dX), np.asarray(e_dX),
+                               rtol=2e-2, atol=2e-3)
+    print("row-sharded slice forward ok", file=sys.stderr)
+
     print("FUSED_ELL_HW_OK")
     return 0
 

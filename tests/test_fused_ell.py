@@ -154,6 +154,54 @@ def test_fused_ell_backward_matches_autodiff(sep, max_pairs):
             err_msg=f"grad mismatch for {name}")
 
 
+def test_fused_ell_row_shard_slice():
+    """Pair rows decoupled from the table size (multi-chip row
+    sharding): the kernel on a destination-row slice against the FULL
+    node tables == oracle, forward and VJP (incl. the table gradients,
+    which carry only this slice's contributions)."""
+    sep_dir = sep_tensor = True
+    N, K, D, H, lmax = 48, 8, 32, 4, 2
+    full = tuple(jnp.asarray(a) for a in _random_inputs(
+        3, N, K, D, H, lmax, sep_dir, sep_tensor))
+    lo, hi = 16, 40  # NR = 24: a middle row block, tables stay [48]
+    row_args = {0, 5, 7, 8, 9}  # t, rl, env, scale, nbr
+    inputs = tuple(a[lo:hi] if i in row_args or i == 1 else a
+                   for i, a in enumerate(full))  # q (1) is row-keyed
+    L = (lmax + 1) ** 2 - 1
+    rng = np.random.default_rng(11)
+    cdh = jnp.asarray(rng.standard_normal((hi - lo, D)).astype(np.float32))
+    cdX = jnp.asarray(
+        rng.standard_normal((hi - lo, L, D)).astype(np.float32))
+
+    fused = make_fused_ell(lmax, H, sep_dir, sep_tensor, interpret=True,
+                           max_pairs=128)  # TB=16: multi-block grid
+    oracle_fn = lambda *a: _jnp_oracle(  # noqa: E731
+        *a, lmax, H, sep_dir, sep_tensor)
+
+    f_out = fused(*inputs)
+    o_out = oracle_fn(*inputs)
+    np.testing.assert_allclose(np.asarray(f_out[0]), np.asarray(o_out[0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(f_out[1]), np.asarray(o_out[1]),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(fn):
+        def f(*a):
+            d_h, dX = fn(*a)
+            return jnp.sum(d_h * cdh) + jnp.sum(dX * cdX)
+        return f
+
+    argn = tuple(i for i in range(len(inputs)) if i != 9)
+    g_f = jax.grad(loss(fused), argnums=argn)(*inputs)
+    g_o = jax.grad(loss(oracle_fn), argnums=argn)(*inputs)
+    names = ["t", "q", "k", "xg", "v", "rl", "X", "env", "scale",
+             "W_re", "b_re", "W_rs", "b_rs"]
+    for name, a, b in zip(names, g_f, g_o):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4,
+            err_msg=f"grad mismatch for {name} (row-sharded)")
+
+
 def test_fused_ell_per_head_scale():
     """Per-head [N, K, H] scale (attention-dropout folding): fwd + VJP
     vs oracle."""
