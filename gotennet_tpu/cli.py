@@ -87,7 +87,11 @@ def _build_data(cfg: Dict, label: str):
         cutoff = cfg["model"]["representation"]["cutoff"]
         mk = dict(cutoff=cutoff,
                   max_num_neighbors=dm.get("max_num_neighbors", 32),
-                  neighbor_probe=dm.get("neighbor_probe", 64))
+                  neighbor_probe=dm.get("neighbor_probe", 64),
+                  # windowed one-hot gathers over spatially-sorted
+                  # atoms — the 10^3-atom formulation (PERF.md)
+                  spatial_sort=dm.get("spatial_sort", False),
+                  block_rows=dm.get("block_rows"))
         train_loader = ELLLoader(ds.subset(idx_train), dm["batch_size"],
                                  shuffle=True, seed=dm.get("seed", 1),
                                  **mk)
@@ -161,7 +165,7 @@ _DATAMODULE_KEYS = {
     "standardize", "train_size", "val_size", "test_size", "splits",
     "seed", "max_num_neighbors", "prior_model", "normalize_positions",
     "n_molecules", "with_forces", "max_frames", "neighbor_probe",
-    "max_molecules", "bucket",
+    "max_molecules", "bucket", "spatial_sort", "block_rows",
 }
 
 
