@@ -231,14 +231,21 @@ class GATAELL(fnn.Module):
             X = TensorLayerNorm(D, cfg.lmax, trainable=False,
                                 name="tensor_layernorm")(X)
 
-        q = Dense(D, activation=None, **dense_kw, name="W_q")(rows(h))
-        k = Dense(D, activation=None, **dense_kw, name="W_k")(h)
+        # node projections run on this device's rows only; the source
+        # TABLES (k/x_g/v) are reassembled by pad+psum so the gathers
+        # see full rows — node FLOPs scale 1/n_shards, one psum per
+        # table per layer (proportional to node, not pair, state)
+        hn = rows(h)
+        q = Dense(D, activation=None, **dense_kw, name="W_q")(hn)
+        k = unshard(Dense(D, activation=None, **dense_kw,
+                          name="W_k")(hn))
 
-        x_g = Dense(D, activation=act, **dense_kw, name="gamma_s_0")(h)
-        x_g = Dense(mult * D, activation=None, **dense_kw,
-                    name="gamma_s_1")(x_g)
-        v = Dense(D, activation=act, **dense_kw, name="gamma_v_0")(h)
-        v = Dense(mult * D, activation=None, **dense_kw, name="gamma_v_1")(v)
+        x_g = Dense(D, activation=act, **dense_kw, name="gamma_s_0")(hn)
+        x_g = unshard(Dense(mult * D, activation=None, **dense_kw,
+                            name="gamma_s_1")(x_g))
+        v = Dense(D, activation=act, **dense_kw, name="gamma_v_0")(hn)
+        v = unshard(Dense(mult * D, activation=None, **dense_kw,
+                          name="gamma_v_1")(v))
 
         if (cfg.fused and cfg.aggr == "add"
                 and cfg.activation in ("swish", "silu")):
@@ -282,7 +289,7 @@ class GATAELL(fnn.Module):
         # ---- HTR edge update ---------------------------------------
         return self._edge_update(cfg, act, h, X, t_ij, rl_ij, gth,
                                  info, evec_dim, emlp_dim, N, K,
-                                 dense_kw, rows)
+                                 dense_kw, rows, unshard)
 
     def _unfused_message(self, cfg, act, h, X, t_ij, rl_ij, dist, nbr,
                          nbr_mask, n_edges, q, k, x_g, v, gth, N, K, D,
@@ -347,27 +354,28 @@ class GATAELL(fnn.Module):
 
     def _edge_update(self, cfg, act, h, X, t_ij, rl_ij, gth, info,
                      evec_dim, emlp_dim, N, K, dense_kw,
-                     rows=lambda x: x):
+                     rows=lambda x: x, unshard=lambda x: x):
         """HTR edge update (skipped on the last layer, reference
         gotennet.py:874).  Pair-local throughout: the center term
-        takes this device's row slice (``rows``), the EK table stays
-        replicated for the gather, and the updated edge state remains
-        row-local."""
+        takes this device's row slice (``rows``), the EK table is
+        projected on local rows and reassembled by pad+psum for the
+        gather, and the updated edge state remains row-local."""
         if self.last_layer or not cfg.edge_updates:
             return h, X, t_ij
         D = cfg.n_atom_basis
+        Xn = rows(X)
         EQ = Dense(evec_dim, use_bias=False, activation=None,
-                   **dense_kw, name="W_vq")(rows(X))  # center rows [*, L, C]
+                   **dense_kw, name="W_vq")(Xn)  # center rows [*, L, C]
         if cfg.sep_htr:
             blocks = []
             for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
                 blocks.append(Dense(
                     evec_dim, use_bias=False, activation=None,
-                    **dense_kw, name=f"W_vk_{l}")(X[:, lo:hi, :]))
-            EK = jnp.concatenate(blocks, axis=1)
+                    **dense_kw, name=f"W_vk_{l}")(Xn[:, lo:hi, :]))
+            EK = unshard(jnp.concatenate(blocks, axis=1))
         else:
-            EK = Dense(evec_dim, use_bias=False, activation=None,
-                       **dense_kw, name="W_vk")(X)
+            EK = unshard(Dense(evec_dim, use_bias=False, activation=None,
+                               **dense_kw, name="W_vk")(Xn))
 
         EQ_i = EQ[:, None]   # [N, 1, L, C] (center = row)
         EK_j = gth(EK)       # [N, K, L, C]
@@ -497,7 +505,10 @@ class GotenNetELL(fnn.Module):
                 cfg, last_layer=(i == cfg.n_interactions - 1),
                 deterministic=deterministic, name=f"gata_{i}")(
                     h, X, t_ij, rl_ij, dist, nbr, nm, n_edges, gmeta)
-            h, X = EQFF(cfg, name=f"eqff_{i}")(h, X)
+            # EQFF is purely row-wise: run it on this device's rows
+            # and reassemble (identity on a single device)
+            h_r, X_r = EQFF(cfg, name=f"eqff_{i}")(rows(h), rows(X))
+            h, X = unshard(h_r), unshard(X_r)
 
         return h, X
 
