@@ -298,8 +298,13 @@ def main():
         default_chunk = 1
     else:
         default_chunk = 8
+    if layout == "ell" and dataset == "md22":
+        # fused-ELL node tables are VMEM-resident: ~120-atom frames
+        # hold to ~4 frames (N~480) per accumulation chunk
+        default_chunk = 4
     chunk = int(os.environ.get("BENCH_CHUNK", default_chunk
-                               if layout == "dense" else batch_size))
+                               if layout in ("dense", "ell")
+                               else batch_size))
     chunk = min(chunk, batch_size)
     n_chunks = batch_size // chunk
 
