@@ -63,6 +63,9 @@ def _build_data(cfg: Dict, label: str):
     elif dm["dataset"] == "synthetic":
         ds = synthetic_molecules(dm.get("n_molecules", 256),
                                  seed=dm.get("seed", 1),
+                                 min_atoms=dm.get("min_atoms", 6),
+                                 max_atoms=dm.get("max_atoms", 24),
+                                 box=dm.get("box", 4.0),
                                  with_forces=dm.get("with_forces", False))
     else:
         raise ValueError(f"Unknown dataset {dm['dataset']!r}")
@@ -166,6 +169,7 @@ _DATAMODULE_KEYS = {
     "seed", "max_num_neighbors", "prior_model", "normalize_positions",
     "n_molecules", "with_forces", "max_frames", "neighbor_probe",
     "max_molecules", "bucket", "spatial_sort", "block_rows",
+    "min_atoms", "max_atoms", "box",
 }
 
 
