@@ -36,6 +36,19 @@ def pad_stack(batches):
     """
     import jax
 
+    # ELL window metadata (gather_window/gather_halo) is static AND
+    # per-batch exact, so two otherwise-identical batches can carry
+    # different values — both are UPPER bounds on neighbor-index
+    # spans, so unifying to the element-wise max preserves correctness
+    # and makes the treedefs match
+    if (batches and hasattr(batches[0], "gather_halo")
+            and any(b.gather_window is not None for b in batches)):
+        gw = max(b.gather_window or 0 for b in batches) or None
+        gh = max((b.gather_halo for b in batches
+                  if b.gather_halo is not None), default=None)
+        batches = [b.replace(gather_window=gw, gather_halo=gh)
+                   for b in batches]
+
     treedef = None
     leaves_per_batch = []
     for b in batches:

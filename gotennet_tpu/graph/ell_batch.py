@@ -66,6 +66,12 @@ class ELLBatch:
         pytree_node=False, default=None)
     block_rows: Optional[int] = struct.field(
         pytree_node=False, default=None)
+    # max excursion of any block's neighbor indices outside its own
+    # row range: any contiguous row chunk [a, b) has nbr in
+    # [a - gather_halo, b + gather_halo) — the static window bound
+    # the chunked fused-kernel path slices node tables by
+    gather_halo: Optional[int] = struct.field(
+        pytree_node=False, default=None)
 
     @property
     def num_nodes(self) -> int:
@@ -157,6 +163,7 @@ def collate_ell(
         n_off += m
 
     gather_window = None
+    gather_halo = None
     if block_rows:
         if num_nodes % block_rows:
             raise ValueError(
@@ -170,6 +177,19 @@ def collate_ell(
         nb = nbr.reshape(num_nodes // block_rows, -1)
         width = int((nb.max(axis=1) - nb.min(axis=1) + 1).max())
         gather_window = min(num_nodes, -(-width // 128) * 128)
+        # halo: how far any block's neighbor indices stray outside the
+        # block's own row range.  Gives a PROVEN static window for ANY
+        # contiguous row chunk [a, b): nbr ⊂ [a - halo, b + halo) —
+        # what the chunked fused-ELL kernel path slices its node-table
+        # windows by (models/gotennet_ell.py).  Exact (measured on
+        # this batch's indices), no spatial-sort assumption needed.
+        rows_idx = np.arange(num_nodes)
+        first = rows_idx.reshape(-1, block_rows)[:, 0]
+        last = rows_idx.reshape(-1, block_rows)[:, -1]
+        gather_halo = int(max(
+            0,
+            (first - nb.min(axis=1)).max(initial=0),
+            (nb.max(axis=1) - last).max(initial=0)))
 
     return ELLBatch(
         z=jnp.asarray(z), pos=jnp.asarray(pos),
@@ -181,6 +201,7 @@ def collate_ell(
         dy=jnp.asarray(dy) if dy is not None else None,
         gather_window=gather_window,
         block_rows=block_rows if gather_window else None,
+        gather_halo=gather_halo,
     )
 
 

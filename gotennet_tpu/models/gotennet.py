@@ -166,6 +166,13 @@ class GotenNetConfig:
     # (PERF.md), so off by default; kept for larger-D configs where
     # the gamma_t matmul dominates.
     fused_htr: bool = False
+    # ELL layout, fused path: max node-table rows resident in VMEM per
+    # kernel call.  Batches larger than this (with windowed-gather
+    # metadata, i.e. gather_halo) run the SAME kernel over contiguous
+    # row chunks against statically-sliced table windows of width
+    # chunk_rows + 2*halo — extending the fused formulation to
+    # 10^4-atom systems.  0 disables chunking (full table always).
+    fused_table_rows: int = 2048
 
     def __post_init__(self):
         if self.n_atom_basis % self.num_heads:

@@ -162,6 +162,71 @@ def _aggr_k(aggr: str, data, mask):
     raise ValueError(f"Unknown aggr {aggr!r}")
 
 
+def _fused_maybe_chunked(fused_fn, t, q, k, xg, v, rl, X, env, scale,
+                         nbr, wre_k, wre_b, wrs_k, wrs_b, *, halo,
+                         max_rows, start):
+    """Run the fused ELL kernel — whole-table, or chunked over
+    contiguous row blocks when the node table exceeds ``max_rows``.
+
+    Chunking slices each chunk's node tables to a static window of
+    width ``chunk_rows + 2*halo`` (rounded to the 128-lane tile):
+    the collator proved every contiguous row chunk's neighbor indices
+    lie inside that window (ELLBatch.gather_halo), so the kernel —
+    whose pair-row count is already decoupled from its table size —
+    runs unchanged against the window with rebased indices.  One
+    ``lax.scan`` over same-shape chunks = one compiled kernel; AD
+    through the window slicing reassembles table gradients.  Extends
+    the fused formulation past the VMEM table bound (~2k rows at
+    flagship width) to 10^4-atom systems.  ``start`` rebases global
+    row ids under row sharding (then chunking subdivides the local
+    rows)."""
+    NR, K, D = t.shape
+    NT = k.shape[0]
+    if not max_rows or halo is None or NT <= max_rows:
+        return fused_fn(t, q, k, xg, v, rl, X, env, scale, nbr,
+                        wre_k, wre_b, wrs_k, wrs_b)
+
+    def w_of(cr):
+        return min(NT, -(-(cr + 2 * halo) // 128) * 128)
+
+    divs = [d for d in range(8, NR + 1, 8) if NR % d == 0] \
+        or [d for d in range(1, NR + 1) if NR % d == 0]
+    fits = [cr for cr in divs if w_of(cr) <= max_rows]
+    cr = fits[-1] if fits else divs[0]
+    W = w_of(cr)
+    C = NR // cr
+    if C == 1 or W >= NT:
+        return fused_fn(t, q, k, xg, v, rl, X, env, scale, nbr,
+                        wre_k, wre_b, wrs_k, wrs_b)
+
+    # chunk c covers global rows [start + c*cr, start + (c+1)*cr)
+    ws = jnp.clip(start + jnp.arange(C) * cr - halo, 0, NT - W)  # [C]
+
+    def win(tab):
+        f = tab.reshape(NT, -1)
+        sl = jax.vmap(lambda s: jax.lax.dynamic_slice(
+            f, (s, 0), (W, f.shape[1])))(ws)
+        return sl.reshape((C, W) + tab.shape[1:])
+
+    def resh(a):
+        return a.reshape((C, cr) + a.shape[1:])
+
+    rel = (nbr.reshape(C, cr, K) - ws[:, None, None]).astype(jnp.int32)
+
+    def body(_, args):
+        tc, qc, kc, xgc, vc, rlc, Xc, envc, scc, nbc = args
+        out = fused_fn(tc, qc, kc, xgc, vc, rlc, Xc, envc, scc, nbc,
+                       wre_k, wre_b, wrs_k, wrs_b)
+        return None, out
+
+    _, (dh, dX) = jax.lax.scan(
+        body, None,
+        (resh(t), resh(q), win(k), win(xg), win(v), resh(rl), win(X),
+         resh(env), resh(scale), rel))
+    return (dh.reshape(NR, dh.shape[-1]),
+            dX.reshape((NR,) + dX.shape[2:]))
+
+
 class NodeInitELL(fnn.Module):
     """NodeInit in ELL layout (same params as models.gotennet.NodeInit).
 
@@ -207,6 +272,10 @@ class GATAELL(fnn.Module):
     cfg: GotenNetConfig
     last_layer: bool = False
     deterministic: bool = True
+    # static halo bound from the collator (ELLBatch.gather_halo):
+    # enables the chunked fused-kernel path for tables larger than
+    # cfg.fused_table_rows
+    gather_halo: "int | None" = None
 
     @fnn.compact
     def __call__(self, h, X, t_ij, rl_ij, dist, nbr, nbr_mask, n_edges,
@@ -222,7 +291,7 @@ class GATAELL(fnn.Module):
         evec_dim = cfg.evec_dim or D
         emlp_dim = cfg.emlp_dim or D
         N, K = nbr.shape
-        rows, unshard, _, _ = _shard_rows(cfg.edge_axis, h.shape[0])
+        rows, unshard, start, _ = _shard_rows(cfg.edge_axis, h.shape[0])
         dense_kw = dict(weight_init=cfg.weight_init, bias_init=cfg.bias_init)
 
         if cfg.layernorm:
@@ -275,9 +344,11 @@ class GATAELL(fnn.Module):
                 cfg.lmax, H, cfg.sep_dir, cfg.sep_tensor,
                 interpret=jax.default_backend() != "tpu",
                 pair_dtype=cfg.pair_dtype)
-            d_h, dX_agg = fused_fn(t_ij, q, k, x_g, v, rl_ij, X,
-                                   env_signed, scale, nbr,
-                                   wre_k, wre_b, wrs_k, wrs_b)
+            d_h, dX_agg = _fused_maybe_chunked(
+                fused_fn, t_ij, q, k, x_g, v, rl_ij, X, env_signed,
+                scale, nbr, wre_k, wre_b, wrs_k, wrs_b,
+                halo=self.gather_halo,
+                max_rows=cfg.fused_table_rows, start=start)
             h = h + unshard(d_h)
             X = X + unshard(dX_agg)
         else:
@@ -503,7 +574,8 @@ class GotenNetELL(fnn.Module):
         for i in range(cfg.n_interactions):
             h, X, t_ij = gata_cls(
                 cfg, last_layer=(i == cfg.n_interactions - 1),
-                deterministic=deterministic, name=f"gata_{i}")(
+                deterministic=deterministic,
+                gather_halo=batch.gather_halo, name=f"gata_{i}")(
                     h, X, t_ij, rl_ij, dist, nbr, nm, n_edges, gmeta)
             # EQFF is purely row-wise: run it on this device's rows
             # and reassemble (identity on a single device)
