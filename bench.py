@@ -26,10 +26,11 @@ pair-tensor storage dtype; matmul accumulation is always f32),
 BENCH_CHUNK (default 8): graphs per gradient-accumulation chunk —
 the optimizer still steps once per full batch; small chunks keep
 pair tensors VMEM-resident (measured optimum ~4-8),
-BENCH_DATASET=qm9|md22|large (qm9: 12-29-atom molecules, batch 256;
-md22: ~120-atom frames, batch 32; large: 600-700-atom frames,
-batch 8), BENCH_FUSED (default 1: fused Pallas message kernel,
-dense layout only), BENCH_FUSED_HTR (default 1 for md22, else 0),
+BENCH_DATASET=qm9|md22|large|xl (qm9: 12-29-atom molecules, batch
+256; md22: ~120-atom frames, batch 32; large: 600-700-atom frames,
+batch 8; xl: ~4000-atom frames, batch 2 — engages the chunked
+halo-windowed fused-ELL path), BENCH_FUSED (default 1: fused Pallas
+message kernel), BENCH_FUSED_HTR (default 1 for md22, else 0),
 BENCH_REMAT (default 0 when fused+dense else 1), BENCH_T_STATE
 (bf16 inter-layer edge state, default 0), BENCH_MAX_ATOMS (dense M
 padding override), BENCH_VMEM_KIB (scoped-vmem limit for the fused
@@ -296,6 +297,13 @@ def main():
         layout = os.environ.get("BENCH_LAYOUT", "ell")
         batch_size = int(os.environ.get("BENCH_BATCH", 8))
         default_chunk = 1
+    elif dataset == "xl":
+        # 10^4-atom regime: single ~4000-atom frames — node tables
+        # exceed the fused kernel's VMEM bound, so the chunked
+        # (halo-windowed) fused path engages (fused_table_rows)
+        layout = os.environ.get("BENCH_LAYOUT", "ell")
+        batch_size = int(os.environ.get("BENCH_BATCH", 2))
+        default_chunk = 1
     else:
         default_chunk = 8
     if layout == "ell" and dataset == "md22":
@@ -334,6 +342,8 @@ def main():
         n_atom_basis=256, n_interactions=4, lmax=2, n_rbf=64, num_heads=8,
         attn_dropout=0.0, fused=fused, fused_htr=fused_htr, remat=remat,
         edge_state_pair_dtype=os.environ.get("BENCH_T_STATE", "0") == "1",
+        # chunked fused-ELL table budget (BENCH_TABLE_ROWS, rows)
+        fused_table_rows=int(os.environ.get("BENCH_TABLE_ROWS", 2048)),
         pair_dtype=jnp.bfloat16 if pair_dtype == "bf16" else jnp.float32)
     task = QM9Task("U0", dataset_meta={"mean": 0.0, "std": 1.0})
     model = GotenModel(cfg, task.build_head(), layout=layout)
@@ -350,6 +360,14 @@ def main():
         # M=704 (20x pair padding)
         ds = synthetic_molecules(batch_size, seed=0, min_atoms=600,
                                  max_atoms=700, box=6.3)
+    elif dataset == "xl":
+        # BENCH_MIN_ATOMS/BENCH_MAX_ATOMS override the frame size
+        # (hardware size sweeps; CPU integration dry-runs)
+        ds = synthetic_molecules(
+            batch_size, seed=0,
+            min_atoms=int(os.environ.get("BENCH_MIN_ATOMS", 4000)),
+            max_atoms=int(os.environ.get("BENCH_MAX_ATOMS", 4200)),
+            box=6.3)
     else:
         # QM9-like size distribution (~18 atoms mean, <=29 max)
         ds = synthetic_molecules(batch_size, seed=0, min_atoms=12,
@@ -383,7 +401,8 @@ def main():
         # XLA's pathological [N, K] row gathers; default on for the
         # 10^3-atom mode (BENCH_SPATIAL=0 / BENCH_BLOCK_ROWS override)
         spatial = os.environ.get(
-            "BENCH_SPATIAL", "1" if dataset == "large" else "0") == "1"
+            "BENCH_SPATIAL",
+            "1" if dataset in ("large", "xl") else "0") == "1"
         br = (int(os.environ.get("BENCH_BLOCK_ROWS", "64"))
               if spatial else None)
         chunks = list(ELLLoader(ds, batch_size=chunk, cutoff=cfg.cutoff,
