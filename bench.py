@@ -34,7 +34,9 @@ message kernel), BENCH_FUSED_HTR (default 1 for md22, else 0),
 BENCH_REMAT (default 0 when fused+dense else 1), BENCH_T_STATE
 (bf16 inter-layer edge state, default 0), BENCH_MAX_ATOMS (dense M
 padding override), BENCH_VMEM_KIB (scoped-vmem limit for the fused
-VJP; default 64M, 96M for md22).
+VJP; default 64M, 96M for md22/large/xl), BENCH_BUCKET (size-bucketed
+dense loader, default 1 for qm9), BENCH_TABLE_ROWS (chunked fused-ELL
+table-window budget, default 2048).
 """
 
 import functools
@@ -328,10 +330,12 @@ def main():
     # (1.19M vs 1.08M edges/s unfused at batch-256 QM9, v5e-1)
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
     # HTR kernel: loses to XLA's elementwise fusion at QM9 shapes but
-    # wins at MD22 pair volume (PERF.md) — default per dataset
+    # wins at MD22 pair volume (PERF.md) — default per dataset; the
+    # ELL layout has its own HTR kernel (the dominant 10^3-atom cost)
     fused_htr = os.environ.get(
         "BENCH_FUSED_HTR",
-        "1" if (dataset == "md22" and fused) else "0") == "1"
+        "1" if fused and (dataset == "md22" or layout == "ell")
+        else "0") == "1"
     # remat: with the fused kernels the big pair tensors never become
     # residuals (the custom_vjp saves only node tensors + softmax), so
     # block remat buys nothing and costs a forward recompute
@@ -431,8 +435,14 @@ def main():
     stacks = tuple(jax.tree.map(lambda *xs: jnp.stack(xs), *g)
                    for g in groups.values())
 
-    vmem_kib = os.environ.get("BENCH_VMEM_KIB",
-                              "98304" if dataset == "md22" else "65536")
+    # md22: the i-tiled dense VJP; large: the fused-ELL VJP's table +
+    # grad accumulators (N=704 needs 66M unchunked); xl: the chunked
+    # kernels' halo windows (pair blocks self-cap to this budget,
+    # ops/pallas/fused_ell.py:capped_pairs)
+    vmem_kib = os.environ.get(
+        "BENCH_VMEM_KIB",
+        "114688" if dataset == "xl"
+        else "98304" if dataset in ("md22", "large") else "65536")
     on_tpu = jax.default_backend() == "tpu"
     init_copts = ({"xla_tpu_scoped_vmem_limit_kib": vmem_kib}
                   if (fused and on_tpu) else None)

@@ -164,7 +164,7 @@ def _aggr_k(aggr: str, data, mask):
 
 def _fused_maybe_chunked(fused_fn, t, q, k, xg, v, rl, X, env, scale,
                          nbr, wre_k, wre_b, wrs_k, wrs_b, *, halo,
-                         max_rows, start):
+                         max_rows, start, chunked_factory=None):
     """Run the fused ELL kernel — whole-table, or chunked over
     contiguous row blocks when the node table exceeds ``max_rows``.
 
@@ -174,57 +174,41 @@ def _fused_maybe_chunked(fused_fn, t, q, k, xg, v, rl, X, env, scale,
     lie inside that window (ELLBatch.gather_halo), so the kernel —
     whose pair-row count is already decoupled from its table size —
     runs unchanged against the window with rebased indices.  One
-    ``lax.scan`` over same-shape chunks = one compiled kernel; AD
-    through the window slicing reassembles table gradients.  Extends
-    the fused formulation past the VMEM table bound (~2k rows at
-    flagship width) to 10^4-atom systems.  ``start`` rebases global
-    row ids under row sharding (then chunking subdivides the local
-    rows)."""
+    ``lax.scan`` over same-shape chunks = one compiled kernel, under
+    a single outer custom_vjp that slices windows inside the scan
+    body in both directions (ops/pallas/fused_ell.py:
+    make_fused_ell_chunked) so no ``[C, W, F]`` stacked window tensor
+    is ever materialized.  Extends the fused formulation past the
+    VMEM table bound (~2k rows at flagship width) to 10^4-atom
+    systems.  ``start`` rebases global row ids under row sharding
+    (then chunking subdivides the local rows).  Callers must have
+    checked ``pick_chunking`` feasibility (GATAELL does) — an
+    infeasible geometry falls back to the whole-table call here only
+    as a last resort."""
+    from gotennet_tpu.ops.pallas.fused_ell import pick_chunking
+
     NR, K, D = t.shape
     NT = k.shape[0]
+
+    def whole_table():
+        return fused_fn(t, q, k, xg, v, rl, X, env, scale, nbr,
+                        wre_k, wre_b, wrs_k, wrs_b)
+
     if not max_rows or halo is None or NT <= max_rows:
-        return fused_fn(t, q, k, xg, v, rl, X, env, scale, nbr,
-                        wre_k, wre_b, wrs_k, wrs_b)
-
-    def w_of(cr):
-        return min(NT, -(-(cr + 2 * halo) // 128) * 128)
-
-    divs = [d for d in range(8, NR + 1, 8) if NR % d == 0] \
-        or [d for d in range(1, NR + 1) if NR % d == 0]
-    fits = [cr for cr in divs if w_of(cr) <= max_rows]
-    cr = fits[-1] if fits else divs[0]
-    W = w_of(cr)
-    C = NR // cr
-    if C == 1 or W >= NT:
-        return fused_fn(t, q, k, xg, v, rl, X, env, scale, nbr,
-                        wre_k, wre_b, wrs_k, wrs_b)
+        return whole_table()
+    pick = pick_chunking(NR, NT, halo, max_rows)
+    if pick is None:
+        return whole_table()
+    cr, W, C = pick
+    if C == 1 or W >= NT or chunked_factory is None:
+        return whole_table()
 
     # chunk c covers global rows [start + c*cr, start + (c+1)*cr)
-    ws = jnp.clip(start + jnp.arange(C) * cr - halo, 0, NT - W)  # [C]
-
-    def win(tab):
-        f = tab.reshape(NT, -1)
-        sl = jax.vmap(lambda s: jax.lax.dynamic_slice(
-            f, (s, 0), (W, f.shape[1])))(ws)
-        return sl.reshape((C, W) + tab.shape[1:])
-
-    def resh(a):
-        return a.reshape((C, cr) + a.shape[1:])
-
-    rel = (nbr.reshape(C, cr, K) - ws[:, None, None]).astype(jnp.int32)
-
-    def body(_, args):
-        tc, qc, kc, xgc, vc, rlc, Xc, envc, scc, nbc = args
-        out = fused_fn(tc, qc, kc, xgc, vc, rlc, Xc, envc, scc, nbc,
-                       wre_k, wre_b, wrs_k, wrs_b)
-        return None, out
-
-    _, (dh, dX) = jax.lax.scan(
-        body, None,
-        (resh(t), resh(q), win(k), win(xg), win(v), resh(rl), win(X),
-         resh(env), resh(scale), rel))
-    return (dh.reshape(NR, dh.shape[-1]),
-            dX.reshape((NR,) + dX.shape[2:]))
+    ws = jnp.clip(start + jnp.arange(C) * cr - halo,
+                  0, NT - W).astype(jnp.int32)
+    chunked = chunked_factory(cr=cr, W=W, C=C)
+    return chunked(t, q, k, xg, v, rl, X, env, scale, nbr, ws,
+                   wre_k, wre_b, wrs_k, wrs_b)
 
 
 class NodeInitELL(fnn.Module):
@@ -316,14 +300,32 @@ class GATAELL(fnn.Module):
         v = unshard(Dense(mult * D, activation=None, **dense_kw,
                           name="gamma_v_1")(v))
 
-        if (cfg.fused and cfg.aggr == "add"
-                and cfg.activation in ("swish", "silu")):
+        use_fused = (cfg.fused and cfg.aggr == "add"
+                     and cfg.activation in ("swish", "silu"))
+        if use_fused and cfg.fused_table_rows \
+                and h.shape[0] > cfg.fused_table_rows:
+            # table beyond the VMEM bound: the fused path needs a
+            # feasible halo-windowed chunking; without one (no window
+            # metadata, or halo too wide for the budget) the XLA
+            # windowed-gather formulation is strictly better than
+            # degenerate near-full-table chunks
+            from gotennet_tpu.ops.pallas.fused_ell import pick_chunking
+            NR_f = t_ij.shape[0]
+            use_fused = (self.gather_halo is not None
+                         and pick_chunking(NR_f, h.shape[0],
+                                           self.gather_halo,
+                                           cfg.fused_table_rows)
+                         is not None)
+        if use_fused:
             # one Pallas kernel: W_re/W_rs projections + SDDMM + masked
             # softmax over K + spatial path + degree aggregation; node
             # tables VMEM-resident, neighbor lookups as in-kernel
             # one-hot matmuls (ops/pallas/fused_ell.py), analytic VJP
+            import functools
+
             from gotennet_tpu.models.gotennet_dense import _LinearParams
-            from gotennet_tpu.ops.pallas.fused_ell import make_fused_ell
+            from gotennet_tpu.ops.pallas.fused_ell import (
+                make_fused_ell, make_fused_ell_chunked)
             wre_k, wre_b = _LinearParams(D, D, cfg.weight_init,
                                          cfg.bias_init, name="W_re")()
             wrs_k, wrs_b = _LinearParams(mult * D, D, cfg.weight_init,
@@ -340,15 +342,19 @@ class GATAELL(fnn.Module):
                     (N, K, H))
                 scale = (scale[..., None] * keep.astype(scale.dtype)
                          / (1.0 - cfg.attn_dropout))
+            interp = jax.default_backend() != "tpu"
             fused_fn = make_fused_ell(
                 cfg.lmax, H, cfg.sep_dir, cfg.sep_tensor,
-                interpret=jax.default_backend() != "tpu",
-                pair_dtype=cfg.pair_dtype)
+                interpret=interp, pair_dtype=cfg.pair_dtype)
+            chunked_factory = functools.partial(
+                make_fused_ell_chunked, cfg.lmax, H, cfg.sep_dir,
+                cfg.sep_tensor, interp, cfg.pair_dtype)
             d_h, dX_agg = _fused_maybe_chunked(
                 fused_fn, t_ij, q, k, x_g, v, rl_ij, X, env_signed,
                 scale, nbr, wre_k, wre_b, wrs_k, wrs_b,
                 halo=self.gather_halo,
-                max_rows=cfg.fused_table_rows, start=start)
+                max_rows=cfg.fused_table_rows, start=start,
+                chunked_factory=chunked_factory)
             h = h + unshard(d_h)
             X = X + unshard(dX_agg)
         else:
@@ -360,7 +366,8 @@ class GATAELL(fnn.Module):
         # ---- HTR edge update ---------------------------------------
         return self._edge_update(cfg, act, h, X, t_ij, rl_ij, gth,
                                  info, evec_dim, emlp_dim, N, K,
-                                 dense_kw, rows, unshard)
+                                 dense_kw, rows, unshard, nbr=nbr,
+                                 start=start)
 
     def _unfused_message(self, cfg, act, h, X, t_ij, rl_ij, dist, nbr,
                          nbr_mask, n_edges, q, k, x_g, v, gth, N, K, D,
@@ -423,9 +430,55 @@ class GATAELL(fnn.Module):
         X = X + unshard(_aggr_k(cfg.aggr, dX, nbr_mask))
         return h, X
 
+    def _fused_edge_update(self, cfg, info, t_ij, EQ, EK, rl_ij, nbr,
+                           D, dense_kw, start):
+        """Fused HTR-ELL kernel call (whole-table or halo-chunked);
+        returns the updated edge state, or None when no feasible
+        chunking exists for an over-budget table (caller falls back
+        to the XLA formulation).  Parameter tree identical to the
+        unfused gamma_t (single-layer MLP), so checkpoints are
+        interchangeable across paths."""
+        import functools
+
+        from gotennet_tpu.models.gotennet_dense import _MLPLayerParams
+        from gotennet_tpu.ops.pallas.fused_htr import (
+            make_fused_htr_ell, make_fused_htr_ell_chunked)
+        from gotennet_tpu.ops.pallas.fused_ell import pick_chunking
+
+        NT = EK.shape[0]
+        NR = t_ij.shape[0]
+        interp = jax.default_backend() != "tpu"
+        gt_k, gt_b = _MLPLayerParams(D, D, cfg.weight_init,
+                                     cfg.bias_init, name="gamma_t")()
+        gate = info["gated"] or ""
+        max_rows = cfg.fused_table_rows
+        if not max_rows or NT <= max_rows:
+            fn = make_fused_htr_ell(
+                cfg.lmax, cfg.sep_htr, info["rej"], gate,
+                interpret=interp, pair_dtype=cfg.pair_dtype)
+            return fn(t_ij, EQ, EK, rl_ij, nbr, gt_k, gt_b)
+        if self.gather_halo is None:
+            return None
+        pick = pick_chunking(NR, NT, self.gather_halo, max_rows)
+        if pick is None:
+            return None
+        cr, W, C = pick
+        if C == 1 or W >= NT:
+            fn = make_fused_htr_ell(
+                cfg.lmax, cfg.sep_htr, info["rej"], gate,
+                interpret=interp, pair_dtype=cfg.pair_dtype)
+            return fn(t_ij, EQ, EK, rl_ij, nbr, gt_k, gt_b)
+        ws = jnp.clip(start + jnp.arange(C) * cr - self.gather_halo,
+                      0, NT - W).astype(jnp.int32)
+        fn = make_fused_htr_ell_chunked(
+            cfg.lmax, cfg.sep_htr, info["rej"], gate, interp,
+            cfg.pair_dtype, cr=cr, W=W, C=C)
+        return fn(t_ij, EQ, EK, rl_ij, nbr, ws, gt_k, gt_b)
+
     def _edge_update(self, cfg, act, h, X, t_ij, rl_ij, gth, info,
                      evec_dim, emlp_dim, N, K, dense_kw,
-                     rows=lambda x: x, unshard=lambda x: x):
+                     rows=lambda x: x, unshard=lambda x: x, *,
+                     nbr=None, start=0):
         """HTR edge update (skipped on the last layer, reference
         gotennet.py:874).  Pair-local throughout: the center term
         takes this device's row slice (``rows``), the EK table is
@@ -447,6 +500,22 @@ class GATAELL(fnn.Module):
         else:
             EK = unshard(Dense(evec_dim, use_bias=False, activation=None,
                                **dense_kw, name="W_vk")(Xn))
+
+        # fused path: flagship grammar (plus norej/gating) as one
+        # Pallas kernel per row block — gamma_t matmul, expanded
+        # rejection pair products and gating with the [NR, K, L, C]
+        # intermediates VMEM-only, EK lookups as in-kernel one-hot
+        # matmuls (ops/pallas/fused_htr.py:make_fused_htr_ell)
+        if (cfg.fused and cfg.fused_htr and nbr is not None
+                and cfg.activation in ("swish", "silu")
+                and not info["mlp"] and not info["mlpa"]
+                and info["lin_w"] == 0 and info["lin_ln"] == 0
+                and cfg.edge_ln == "" and evec_dim == D):
+            t_new = self._fused_edge_update(cfg, info, t_ij, EQ, EK,
+                                            rl_ij, nbr, D, dense_kw,
+                                            start)
+            if t_new is not None:
+                return h, X, t_new
 
         EQ_i = EQ[:, None]   # [N, 1, L, C] (center = row)
         EK_j = gth(EK)       # [N, K, L, C]

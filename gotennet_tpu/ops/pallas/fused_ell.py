@@ -530,6 +530,189 @@ def _pallas_ell_backward(t, q, k, x_g, v, rl, X, env_signed, scale, nbr,
             g_Wre, g_bre.reshape(D), g_Wrs, g_brs.reshape(mult * D))
 
 
+def capped_pairs(fixed_bytes: int, per_row_bytes: int, max_pairs: int,
+                 budget: int = 100 << 20, floor: int = 256) -> int:
+    """VMEM-aware pair-block cap for the CHUNKED kernels: wide table
+    windows (in the backward: plus their gradient accumulators and
+    scatter temporaries) eat the scoped-VMEM budget that the pair
+    slabs would otherwise use, so the pair block shrinks as W grows.
+    Constants at the call sites are calibrated against Mosaic
+    stack-allocation reports on v5e (message bwd: 66M at
+    W=704/TBK=1152, 127.9M at W=1920 — see PERF.md); the whole-table
+    path is NOT capped (its shapes are the validated operating
+    points)."""
+    avail = max(budget - fixed_bytes, 0)
+    mp = max_pairs
+    while mp > floor and mp * per_row_bytes > avail:
+        mp //= 2
+    return mp
+
+
+def _chunked_pairs(W: int, D: int, mult: int, L: int, max_pairs: int,
+                   *, bwd: bool) -> int:
+    """Message-kernel instantiation of :func:`capped_pairs`."""
+    cols = D + 2 * mult * D + L * D
+    if bwd:
+        return capped_pairs(2 * W * cols * 4 + 6 * W * D * 4,
+                            140 * D, max_pairs)
+    return capped_pairs(W * cols * 4 + 4 * W * D * 4, 72 * D, max_pairs)
+
+
+def pick_chunking(NR: int, NT: int, halo: int, max_rows: int):
+    """Chunk geometry for the halo-windowed fused path: the largest
+    multiple-of-8 divisor ``cr`` of the (local) destination-row count
+    whose table window ``cr + 2*halo`` (rounded up to the 128-lane
+    tile, capped at the table size) fits ``max_rows``.  Returns
+    ``(cr, W, C)`` or ``None`` when no divisor fits — the caller must
+    then take the unfused path (running hundreds of near-full-table
+    chunks would be strictly worse than XLA's windowed gathers)."""
+    def w_of(cr):
+        return min(NT, -(-(cr + 2 * halo) // 128) * 128)
+
+    divs = [d for d in range(8, NR + 1, 8) if NR % d == 0] \
+        or [d for d in range(1, NR + 1) if NR % d == 0]
+    fits = [cr for cr in divs if w_of(cr) <= max_rows]
+    if not fits:
+        return None
+    cr = fits[-1]
+    return cr, w_of(cr), NR // cr
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_ell_chunked(lmax: int, num_heads: int, sep_dir: bool,
+                           sep_tensor: bool, interpret: bool = False,
+                           pair_dtype=jnp.float32, max_pairs: int = 4096,
+                           *, cr: int, W: int, C: int):
+    """Chunked fused ELL step for node tables beyond the VMEM bound
+    (the 10^4-atom path): one ``lax.scan`` over ``C`` contiguous
+    ``cr``-row chunks, each kernel call reading a ``[W, F]`` window of
+    every source table (the collator-proved halo bound guarantees all
+    of a chunk's neighbor indices land inside its window).
+
+    The whole scan sits under ONE ``jax.custom_vjp``, which is what
+    keeps memory bounded: windows are sliced *inside* the scan body
+    (forward) and re-sliced in the hand-written backward, whose
+    reverse scan accumulates window gradients into full-table
+    ``[NT, F]`` carries (overlapping windows are correct because the
+    scan is sequential: read-modify-write).  Differentiating through
+    stacked ``[C, W, F]`` window tensors — the naive formulation —
+    materializes C near-full table copies as scan residuals, which at
+    4k atoms is >100 GB of HBM.
+
+    Returned ``fn(t, q, k, x_g, v, rl, X, env_signed, scale, nbr, ws,
+    W_re, b_re, W_rs, b_rs) -> (d_h, dX)``: ``ws`` is the ``[C]``
+    int32 window-start vector (integer input, float0 cotangent, like
+    ``nbr``); pair/row inputs are row-local ``[NR = C*cr, ...]``,
+    tables are full ``[NT, ...]``.
+    """
+    import numpy as np
+
+    kw = dict(lmax=lmax, num_heads=num_heads, sep_dir=sep_dir,
+              sep_tensor=sep_tensor, interpret=interpret,
+              pair_dtype=pair_dtype, max_pairs=max_pairs)
+
+    def _win(tab, wsc):
+        return jax.lax.dynamic_slice_in_dim(tab, wsc, W, 0)
+
+    def _run_fwd(args):
+        (t, q, k, x_g, v, rl, X, env, scale, nbr, ws,
+         W_re, b_re, W_rs, b_rs) = args
+        NR, K, D = t.shape
+        kw_f = dict(kw, max_pairs=_chunked_pairs(
+            W, D, W_rs.shape[1] // D, rl.shape[-1], kw["max_pairs"],
+            bwd=False))
+
+        def resh(a):
+            return a.reshape((C, cr) + a.shape[1:])
+
+        rel = (nbr.reshape(C, cr, K) - ws[:, None, None]).astype(jnp.int32)
+
+        def body(_, xs):
+            wsc, tc, qc, rlc, envc, scc, nbc = xs
+            out = _pallas_ell_forward(
+                tc, qc, _win(k, wsc), _win(x_g, wsc), _win(v, wsc),
+                rlc, _win(X, wsc), envc, scc, nbc,
+                W_re, b_re, W_rs, b_rs, **kw_f)
+            return None, out
+
+        _, (dh, dX, sm) = jax.lax.scan(
+            body, None, (ws, resh(t), resh(q), resh(rl), resh(env),
+                         resh(scale), rel))
+        return (dh.reshape(NR, dh.shape[-1]),
+                dX.reshape((NR,) + dX.shape[2:]), sm)
+
+    @jax.custom_vjp
+    def fused(*args):
+        d_h, dX, _ = _run_fwd(args)
+        return d_h, dX
+
+    def fwd(*args):
+        d_h, dX, sm = _run_fwd(args)
+        return (d_h, dX), (args, sm)
+
+    def bwd(res, cots):
+        args, sm = res
+        (t, q, k, x_g, v, rl, X, env, scale, nbr, ws,
+         W_re, b_re, W_rs, b_rs) = args
+        g_dh, g_dX = cots
+        NR, K, D = t.shape
+        f32 = jnp.float32
+
+        def resh(a):
+            return a.reshape((C, cr) + a.shape[1:])
+
+        rel = (nbr.reshape(C, cr, K) - ws[:, None, None]).astype(jnp.int32)
+        carry0 = (jnp.zeros(k.shape, f32), jnp.zeros(x_g.shape, f32),
+                  jnp.zeros(v.shape, f32), jnp.zeros(X.shape, f32),
+                  jnp.zeros(W_re.shape, f32), jnp.zeros(b_re.shape, f32),
+                  jnp.zeros(W_rs.shape, f32), jnp.zeros(b_rs.shape, f32))
+
+        def acc_window(full, win_g, wsc):
+            seg = jax.lax.dynamic_slice_in_dim(full, wsc, W, 0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                full, seg + win_g, wsc, 0)
+
+        # _pallas_ell_backward halves max_pairs internally
+        kw_b = dict(kw, max_pairs=2 * _chunked_pairs(
+            W, D, W_rs.shape[1] // D, rl.shape[-1],
+            kw["max_pairs"] // 2, bwd=True))
+
+        def body(carry, xs):
+            gk, gxg, gv, gX, gwre, gbre, gwrs, gbrs = carry
+            (wsc, tc, qc, rlc, envc, scc, nbc, smc, gdhc, gdxc) = xs
+            grads = _pallas_ell_backward(
+                tc, qc, _win(k, wsc), _win(x_g, wsc), _win(v, wsc),
+                rlc, _win(X, wsc), envc, scc, nbc,
+                W_re, b_re, W_rs, b_rs, smc, gdhc, gdxc, **kw_b)
+            (g_t, g_q, g_kw, g_xgw, g_vw, g_rl, g_Xw, g_env, g_scale,
+             g_Wre, g_bre, g_Wrs, g_brs) = grads
+            carry = (acc_window(gk, g_kw, wsc),
+                     acc_window(gxg, g_xgw, wsc),
+                     acc_window(gv, g_vw, wsc),
+                     acc_window(gX, g_Xw, wsc),
+                     gwre + g_Wre, gbre + g_bre,
+                     gwrs + g_Wrs, gbrs + g_brs)
+            return carry, (g_t, g_q, g_rl, g_env, g_scale)
+
+        carry, ys = jax.lax.scan(
+            body, carry0,
+            (ws, resh(t), resh(q), resh(rl), resh(env), resh(scale),
+             rel, sm, resh(g_dh), resh(g_dX)))
+        gk, gxg, gv, gX, gwre, gbre, gwrs, gbrs = carry
+        g_t, g_q, g_rl, g_env, g_scale = (
+            y.reshape((NR,) + y.shape[2:]) for y in ys)
+        grads = (g_t, g_q, gk, gxg, gv, g_rl, gX, g_env, g_scale,
+                 np.zeros(nbr.shape, jax.dtypes.float0),
+                 np.zeros(ws.shape, jax.dtypes.float0),
+                 gwre, gbre, gwrs, gbrs)
+        return tuple(
+            g if g.dtype == jax.dtypes.float0 else g.astype(a.dtype)
+            for g, a in zip(grads, args))
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
 @functools.lru_cache(maxsize=None)
 def make_fused_ell(lmax: int, num_heads: int, sep_dir: bool,
                    sep_tensor: bool, interpret: bool = False,

@@ -159,6 +159,54 @@ def test_fused_ell_model_matches_unfused():
                                    rtol=2e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("edge_updates", [True, "gatedt", "norej"])
+def test_fused_htr_ell_matches_unfused(edge_updates):
+    """cfg.fused_htr=True routes the HTR edge update through the
+    fused ELL Pallas kernel (expanded rejection, in-kernel EK
+    gathers): same parameter tree, outputs and gradients as the XLA
+    rejection formulation."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg = _cfg(edge_updates=edge_updates, n_interactions=3)
+    cfg_f = dataclasses.replace(cfg, fused=True, fused_htr=True,
+                                remat=False)
+    rng = np.random.default_rng(1)
+    graphs = _graphs(rng)
+    gb = collate_graphs(graphs, 24, 256, 4, cutoff=cfg.cutoff)
+    eb = ell_from_graph_batch(gb, max_neighbors=12)
+
+    model_u = GotenNetELL(cfg)
+    model_f = GotenNetELL(cfg_f)
+    params = model_u.init(jax.random.PRNGKey(0), eb)
+    params_f = model_f.init(jax.random.PRNGKey(0), eb)
+    assert (jax.tree_util.tree_structure(params_f)
+            == jax.tree_util.tree_structure(params))
+
+    h_u, X_u = model_u.apply(params, eb)
+    h_f, X_f = model_f.apply(params, eb)
+    n_real = sum(len(g["z"]) for g in graphs)
+    np.testing.assert_allclose(np.asarray(h_f)[:n_real],
+                               np.asarray(h_u)[:n_real],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(X_f)[:n_real],
+                               np.asarray(X_u)[:n_real],
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(model):
+        def f(p, pos):
+            h, X = model.apply(p, eb.replace(pos=pos))
+            return jnp.sum(h[:n_real] ** 2) + jnp.sum(X[:n_real] ** 2)
+        return f
+
+    g_u = jax.grad(loss(model_u), argnums=(0, 1))(params, eb.pos)
+    g_f = jax.grad(loss(model_f), argnums=(0, 1))(params, eb.pos)
+    for a, b in zip(jax.tree.leaves(g_u), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=1e-3)
+
+
 def test_spatial_order_bounds_window():
     """Cell-lexicographic ordering yields gather windows well below N
     for spatially extended systems."""
@@ -416,11 +464,13 @@ def test_forces_match_under_graph_sharding(layout):
                                rtol=2e-4, atol=2e-5)
 
 
-def test_ell_fused_chunked_matches_whole_table():
+@pytest.mark.parametrize("fused_htr", [False, True])
+def test_ell_fused_chunked_matches_whole_table(fused_htr):
     """Chunked fused-kernel path (node table > fused_table_rows:
     kernel scanned over contiguous row chunks against halo-bounded
     static table windows) == the whole-table fused call, values and
-    gradients — the 10^4-atom extension of the fused formulation."""
+    gradients — the 10^4-atom extension of the fused formulation.
+    With fused_htr the chunked HTR kernel is covered too."""
     import dataclasses
 
     ds = synthetic_molecules(2, seed=0, min_atoms=155, max_atoms=160,
@@ -439,7 +489,8 @@ def test_ell_fused_chunked_matches_whole_table():
     assert w8 < NT and w8 <= max_rows, \
         f"halo {halo} too large for a meaningful chunk test"
 
-    base = dataclasses.replace(_cfg(lmax=1), fused=True, remat=False)
+    base = dataclasses.replace(_cfg(lmax=1), fused=True, remat=False,
+                               fused_htr=fused_htr)
     whole = GotenNetELL(dataclasses.replace(base, fused_table_rows=0))
     chunked = GotenNetELL(
         dataclasses.replace(base, fused_table_rows=max_rows))
