@@ -150,5 +150,6 @@ def apply_with_forces(model: GotenModel, params, batch: GraphBatch,
         # over the axis restores the exact full-graph forces
         dy = jax.lax.pmean(dy, model.cfg.edge_axis)
     sign = -1.0 if model.head.negative_dr else 1.0
-    out["forces"] = sign * dy * batch.node_mask[:, None]
+    # node_mask is [N] (edge/ell) or [G, M] (dense); mask the last axis
+    out["forces"] = sign * dy * batch.node_mask[..., None]
     return out

@@ -61,7 +61,9 @@ class MD17Task(Task):
 
     def get_targets(self, batch) -> Dict[str, tuple]:
         gm = batch.graph_mask.astype(jnp.float32)[:, None]
-        nm = batch.node_mask.astype(jnp.float32)[:, None]
+        # node_mask is [N] (edge/ell) or [G, M] (dense): mask per-atom
+        # force rows along a new trailing axis either way
+        nm = batch.node_mask.astype(jnp.float32)[..., None]
         out = {"y": (batch.y[:, :1], gm)}
         if batch.dy is not None:
             out["dy"] = (batch.dy, nm)

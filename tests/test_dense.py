@@ -217,6 +217,50 @@ def test_dense_with_dropout_trains():
     assert float(l3) == float(l4)
 
 
+def test_dense_forces_match_edge_layout():
+    """Force path on the dense layout: -dE/dpos agrees with the edge
+    layout (same params), and the force-task loss/grad is finite — the
+    MD training capability on the layout that is fastest at MD22 scale
+    (reference outputs.py:365-375 autograd semantics)."""
+    from gotennet_tpu.data.dataset import (
+        BatchLoader, DenseLoader, synthetic_molecules)
+    from gotennet_tpu.models.model import (
+        GotenModel, HeadConfig, apply_with_forces)
+    from gotennet_tpu.tasks.force_task import MD17Task
+    from gotennet_tpu.train.trainer import make_loss_fn
+
+    cfg = GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2,
+                         n_rbf=8, num_heads=4)
+    head = HeadConfig(kind="atomwise", derivative=True)
+    ds = synthetic_molecules(4, seed=3, min_atoms=6, max_atoms=10,
+                             with_forces=True)
+    eb = next(iter(BatchLoader(ds, batch_size=4, cutoff=cfg.cutoff,
+                               neighbor_probe="full")))
+    db = next(iter(DenseLoader(ds, batch_size=4)))
+    edge_model = GotenModel(cfg, head, layout="edge")
+    dense_model = GotenModel(cfg, head, layout="dense")
+    params = edge_model.init(jax.random.PRNGKey(0), eb)
+
+    f_e = np.asarray(apply_with_forces(edge_model, params, eb)["forces"])
+    f_d = np.asarray(apply_with_forces(dense_model, params, db)["forces"])
+    ng = np.asarray(eb.node_graph)
+    nm = np.asarray(eb.node_mask)
+    for g in range(4):
+        rows = f_e[(ng == g) & nm]
+        np.testing.assert_allclose(f_d[g, :len(rows)], rows,
+                                   rtol=2e-4, atol=2e-5)
+        # padded atom slots carry zero force
+        np.testing.assert_array_equal(f_d[g, len(rows):], 0.0)
+
+    task = MD17Task("aspirin", dataset_meta={"mean": 0.0, "std": 1.0})
+    loss_fn = make_loss_fn(dense_model, task)
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, db, None, True)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+
+
 def test_dense_bucketing_loader():
     """Size-bucketed DenseLoader: per-batch M (multiple of 8, <= global
     cap), every molecule exactly once, materially fewer padded pairs."""
