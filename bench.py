@@ -528,6 +528,21 @@ def main():
         float(run())
         dt = max(time.time() - t0 - rtt, 1e-9) / n_steps
 
+    if os.environ.get("BENCH_PROFILE", "0") == "1":
+        # device-time breakdown of the timed step (any mode/dataset):
+        # top HLO categories + ops via the JAX profiler
+        from gotennet_tpu.utils.profiling import profile_fn
+        if mode == "train":
+            s = profile_fn(lambda: float(run(params, opt_state)),
+                           top_k=60)
+        else:
+            s = profile_fn(lambda: float(run()), top_k=60)
+        for op in s["top_ops"]:
+            if op["name"].startswith("while"):
+                continue  # scan wrappers nest everything below
+            print(f"  {op['us'] / 1e3:9.2f} ms  {op['name']}  "
+                  f"{(op.get('hlo') or '')[:90]}")
+
     edges_per_s = real_edges / dt
     record = {
         "metric": "edges_per_s_per_chip",
