@@ -537,10 +537,13 @@ def main():
                            top_k=60)
         else:
             s = profile_fn(lambda: float(run()), top_k=60)
+        # profiler totals cover the whole scan (n_steps steps);
+        # divide so the printout is per-step, matching the timing line
+        print(f"  per-step device time (profiled run / {n_steps} steps):")
         for op in s["top_ops"]:
             if op["name"].startswith("while"):
                 continue  # scan wrappers nest everything below
-            print(f"  {op['us'] / 1e3:9.2f} ms  {op['name']}  "
+            print(f"  {op['us'] / 1e3 / n_steps:9.3f} ms  {op['name']}  "
                   f"{(op.get('hlo') or '')[:90]}")
 
     edges_per_s = real_edges / dt

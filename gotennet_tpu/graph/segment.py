@@ -140,6 +140,12 @@ def segment_softmax(
     # Dead segments keep dtype-min; stop that from polluting exp below.
     seg_max = jnp.maximum(seg_max, jnp.finfo(logits.dtype).min / 2)
     shifted = logits - seg_max[segment_ids]
+    # Zero masked entries BEFORE exp: in a fully-masked segment shifted
+    # is ~ +dtype.max (logit - clamped dead-segment max), exp overflows
+    # to inf, and although the mask zeroes it in the forward, the
+    # backward multiplies the zero cotangent by exp(shifted) = inf ->
+    # NaN gradients (hit by all-masked pad batches in accumulation).
+    shifted = _apply_mask(shifted, mask)
     expd = jnp.exp(shifted)
     expd = _apply_mask(expd, mask)
     denom = segment_sum(expd, segment_ids, num_segments, None,

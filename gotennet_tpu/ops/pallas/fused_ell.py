@@ -48,12 +48,23 @@ __all__ = ["fused_ell_message", "make_fused_ell"]
 
 def _pick_rows(N: int, K: int, max_pairs: int = 4096) -> int:
     """Destination rows per grid step: the largest multiple-of-8
-    divisor of N whose pair block TB*K stays under ``max_pairs``."""
+    divisor of N whose pair block TB*K stays under ``max_pairs``.
+    When no divisor fits (unusual N, or very large K) the smallest
+    multiple-of-8 divisor is used anyway — the kernel still compiles,
+    just with a larger working set — and a warning makes the VMEM
+    pressure diagnosable (same policy as fused_gata._pick_i_tile)."""
     divs = [tb for tb in range(8, N + 1, 8) if N % tb == 0]
     fits = [tb for tb in divs if tb * K <= max_pairs]
     if fits:
         return fits[-1]
-    return divs[0] if divs else N
+    tb = divs[0] if divs else N
+    from gotennet_tpu.utils.logging import get_logger
+    get_logger().warning(
+        "fused_ell: N=%d, K=%d has no row block within the %d-pair "
+        "budget; using TB=%d (%d pairs/block) — raise the scoped-vmem "
+        "limit if Mosaic reports VMEM exhaustion", N, K, max_pairs,
+        tb, tb * K)
+    return tb
 
 
 def _onehot(nbr_col, N: int, dtype):

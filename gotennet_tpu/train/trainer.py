@@ -49,10 +49,15 @@ __all__ = ["TrainerConfig", "Trainer", "make_loss_fn"]
 
 def _chunked(loader, n_accum: int):
     """Yield single batches (n_accum == 1) or stacks of n_accum
-    consecutive batches along a new leading axis (trailing remainder is
-    dropped).  Batches whose capacities diverged mid-epoch (loader
-    rebucketing, size-bucketed dense loaders) are zero-padded to a
-    common shape before stacking."""
+    consecutive batches along a new leading axis.  A trailing partial
+    group is padded to n_accum with all-zero (fully masked) batches —
+    zero masks make their loss and gradients exact zeros, and
+    ``_accum_grads`` divides by the REAL chunk count (graph_mask tells
+    it apart), so every loader batch trains and the final optimizer
+    step of an epoch has the same semantics as a full group.  Batches
+    whose capacities diverged mid-epoch (loader rebucketing,
+    size-bucketed dense loaders) are zero-padded to a common shape
+    before stacking."""
     if n_accum == 1:
         yield from loader
         return
@@ -63,6 +68,10 @@ def _chunked(loader, n_accum: int):
         if len(buf) == n_accum:
             yield pad_stack(buf)
             buf = []
+    if buf:
+        empty = jax.tree.map(jnp.zeros_like, buf[-1])
+        buf.extend([empty] * (n_accum - len(buf)))
+        yield pad_stack(buf)
 
 
 def _grouped(it, n: int):
@@ -101,15 +110,19 @@ class TrainerConfig:
     # Loss-value EMA (reference goten_model.py:479-497): per-stage EMA
     # replaces the logged/monitored loss for stages in ``ema_stages``
     # (reference default ["train", "validation"], goten_model.py:145-148).
-    # Deliberate deviation: the EMA here is LOG/MONITOR-ONLY — the
-    # optimized training objective is always the raw per-batch loss.
+    # Default deviation: the EMA here is LOG/MONITOR-ONLY — the
+    # optimized training objective is the raw per-batch loss.
     # The reference substitutes the EMA-smoothed value into the loss it
-    # backprops when use_ema is on (goten_model.py:488-496), which
-    # rescales gradients by ema_rate; smoothing the monitor without
-    # touching gradients keeps optimization semantics clean on TPU
-    # (the EMA state lives host-side, outside the jitted step).
+    # backprops when use_ema is on (goten_model.py:488-496); since the
+    # previous EMA is detached there, the only gradient effect is a
+    # rescale by ema_rate.  Set ``use_ema_in_loss=True`` to reproduce
+    # that exactly: gradients are scaled by ema_rate (inside the jitted
+    # step, BEFORE global-norm clipping — the reference clips the
+    # already-scaled autograd grads) from the second train batch on,
+    # while the EMA state itself stays host-side.
     ema_rate: float = 0.0               # 0 = off
     ema_stages: Tuple[str, ...] = ("train", "validation")
+    use_ema_in_loss: bool = False       # reference-EMA gradient parity
     seed: int = 1
     log_every: int = 50
     workdir: str = "runs/default"
@@ -167,23 +180,30 @@ def make_loss_fn(model: GotenModel, task) -> Callable:
 
 def _accum_grads(grad_fn, params, batch, step_rng, n_accum):
     """Gradient (and loss) over one batch, or the mean over a leading
-    accumulation axis of ``n_accum`` stacked chunks."""
+    accumulation axis of ``n_accum`` stacked chunks.  All-masked pad
+    chunks (from _chunked's trailing-group padding) contribute zero
+    loss/grads and are excluded from the divisor, so partial groups
+    average over their real chunks only."""
     if n_accum == 1:
         (loss, (logs, _)), grads = grad_fn(params, batch, step_rng, False)
         return loss, logs, grads
 
     def accum(carry, xs):
-        g_acc, l_acc = carry
+        g_acc, l_acc, n_real = carry
         chunk, i = xs
         r = jax.random.fold_in(step_rng, i)
         (l, _), g = grad_fn(params, chunk, r, False)
-        return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
+        real = jnp.any(chunk.graph_mask).astype(jnp.float32)
+        return (jax.tree.map(jnp.add, g_acc, g), l_acc + l,
+                n_real + real), None
 
     zero = jax.tree.map(jnp.zeros_like, params)
-    (g_sum, l_sum), _ = jax.lax.scan(
-        accum, (zero, jnp.float32(0.0)), (batch, jnp.arange(n_accum)))
-    grads = jax.tree.map(lambda x: x / n_accum, g_sum)
-    return l_sum / n_accum, {}, grads
+    (g_sum, l_sum, n_real), _ = jax.lax.scan(
+        accum, (zero, jnp.float32(0.0), jnp.float32(0.0)),
+        (batch, jnp.arange(n_accum)))
+    n_real = jnp.maximum(n_real, 1.0)
+    grads = jax.tree.map(lambda x: x / n_real, g_sum)
+    return l_sum / n_real, {}, grads
 
 
 class Trainer:
@@ -264,13 +284,18 @@ class Trainer:
         tx = self.tx
         n_accum = max(1, self.cfg.grad_accum_steps)
 
-        def train_step(params, opt_state, batch, rng, lr_scale):
+        def train_step(params, opt_state, batch, rng, lr_scale,
+                       ema_scale=1.0):
             """``batch`` has a leading accumulation axis when
-            grad_accum_steps > 1 (see _chunked)."""
+            grad_accum_steps > 1 (see _chunked).  ``ema_scale`` is the
+            reference-EMA gradient rescale (use_ema_in_loss; 1.0 when
+            off), applied before the optimizer chain so grad clipping
+            sees the scaled gradients like the reference's autograd."""
             rng, step_rng = jax.random.split(rng)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             loss, logs, grads = _accum_grads(grad_fn, params, batch,
                                              step_rng, n_accum)
+            grads = jax.tree.map(lambda g: g * ema_scale, grads)
             # inject scheduled LR: inner state of chain = (clip, adamw)
             opt_state = self._set_lr(opt_state, lr_scale)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -297,7 +322,8 @@ class Trainer:
         n_accum = max(1, self.cfg.grad_accum_steps)
         with_forces = self.model.head.derivative
 
-        def device_step(params, opt_state, batch, step_rng, lr_scale):
+        def device_step(params, opt_state, batch, step_rng, lr_scale,
+                        ema_scale):
             # strip the per-device leading axis added by stacking
             local = jax.tree.map(lambda x: x[0], batch)
             my_rng = step_rng
@@ -306,6 +332,7 @@ class Trainer:
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             loss, logs, grads = _accum_grads(grad_fn, params, local,
                                              my_rng, n_accum)
+            grads = jax.tree.map(lambda g: g * ema_scale, grads)
             grads = jax.lax.pmean(grads, axes)
             loss = jax.lax.pmean(loss, axes)
             logs = jax.lax.pmean(logs, axes)
@@ -330,15 +357,17 @@ class Trainer:
             bspec = jax.tree.map(insert_accum_axis, bspec)
         mapped = jax.shard_map(
             device_step, mesh=mesh,
-            in_specs=(P(), P(), bspec, P(), P()),
+            in_specs=(P(), P(), bspec, P(), P(), P()),
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
 
-        def train_step(params, opt_state, batch, rng, lr_scale):
+        def train_step(params, opt_state, batch, rng, lr_scale,
+                       ema_scale=1.0):
             rng, step_rng = jax.random.split(rng)
             params, opt_state, logs = mapped(params, opt_state, batch,
-                                             step_rng, lr_scale)
+                                             step_rng, lr_scale,
+                                             jnp.float32(ema_scale))
             return params, opt_state, rng, logs
 
         return self._jit(train_step, donate_argnums=(0, 1))
@@ -431,6 +460,19 @@ class Trainer:
         if stage in self.cfg.ema_stages:
             return self._update_ema(f"{stage}_loss", value)
         return value
+
+    def _ema_grad_scale(self) -> float:
+        """Gradient rescale for the next train step under
+        ``use_ema_in_loss`` (reference goten_model.py:488-496: the
+        backprop'd loss is rate*loss + (1-rate)*detached EMA, so grads
+        scale by ema_rate once an EMA value exists — i.e. from the
+        second train batch, or immediately after a resume)."""
+        cfg = self.cfg
+        if (cfg.use_ema_in_loss and 0.0 < cfg.ema_rate < 1.0
+                and "train" in cfg.ema_stages
+                and "train_loss" in self.ema):
+            return cfg.ema_rate
+        return 1.0
 
     def _stack_group(self, group):
         """Stack a group of per-device batches and lay it out on the
@@ -528,7 +570,8 @@ class Trainer:
             train_losses = []
             for batch in prefetch(self._train_batches(train_loader)):
                 params, opt_state, rng, logs = self._train_step(
-                    params, opt_state, batch, rng, self.lr_scale(step))
+                    params, opt_state, batch, rng, self.lr_scale(step),
+                    self._ema_grad_scale())
                 step += 1
                 loss = self._stage_ema("train", float(logs["loss"]))
                 if step % cfg.log_every == 0:

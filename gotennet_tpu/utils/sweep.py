@@ -84,6 +84,11 @@ def _run_trials(train_fn, load_cfg, trials, sweep_dir, metric,
     best = None
     with open(summary_path, "a") as summary:
         for idx, trial in enumerate(trials):
+            # the sweep owns each trial's workdir: drop any caller- or
+            # sampler-supplied workdir override so the recorded
+            # overrides (and best_overrides) are replayable as-is
+            trial = [ov for ov in trial
+                     if ov.partition("=")[0] != "workdir"]
             workdir = os.path.join(sweep_dir, f"trial_{idx}")
             cfg = load_cfg(trial + [f"workdir={workdir}"])
             rec: Dict = {"trial": idx, "overrides": trial}

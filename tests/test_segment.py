@@ -78,3 +78,24 @@ def test_segment_softmax_huge_logits_stable():
     got = np.asarray(segment_softmax(logits, ids, 1))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got.sum(), 1.0, rtol=1e-5)
+
+
+def test_segment_softmax_all_masked_grad_finite():
+    """A fully-masked segment must give zero output AND finite (zero)
+    gradients — the backward used to hit 0 * exp(+huge) = NaN, which
+    poisoned gradient accumulation over all-masked pad batches."""
+    import jax
+
+    E, N, H = 6, 3, 2
+    logits = jnp.zeros((E, H, 1))
+    ids = jnp.zeros((E,), jnp.int32)
+    mask = jnp.zeros((E,), bool)
+
+    def f(l):
+        return jnp.sum(segment_softmax(l, ids, N, mask,
+                                       indices_are_sorted=True))
+
+    assert float(f(logits)) == 0.0
+    g = np.asarray(jax.grad(f)(logits))
+    assert np.isfinite(g).all()
+    np.testing.assert_array_equal(g, 0.0)

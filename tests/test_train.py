@@ -146,6 +146,46 @@ def test_grad_accumulation_matches_big_batch(tmp_path):
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_grad_accum_trailing_remainder(tmp_path):
+    """n_batches % grad_accum != 0: the trailing batch still trains —
+    _chunked pads the final group with all-masked chunks and
+    _accum_grads averages over the real ones only, so the last update
+    equals a plain single-batch step."""
+    import jax
+    import optax
+    from gotennet_tpu.train.trainer import _chunked, make_loss_fn
+
+    model, task, loader, _ = _setup(tmp_path, n=24)
+    batches = list(loader)[:3]          # 3 batches, accum 2 -> remainder 1
+    params = model.init(jax.random.PRNGKey(0), batches[0])
+
+    groups = list(_chunked(iter(batches), 2))
+    assert len(groups) == 2, "trailing remainder was dropped"
+    # the pad chunk is fully masked
+    assert np.asarray(groups[1].graph_mask)[1].sum() == 0
+
+    # reference first (the trainer step donates params/opt_state):
+    # plain single-batch update on the tail batch
+    loss_fn = make_loss_fn(model, task)
+    g_ref = jax.grad(lambda p: loss_fn(p, batches[2], None, True)[0])(params)
+
+    tcfg = TrainerConfig(lr=1e-3, workdir=str(tmp_path), scheduler="none",
+                         grad_accum_steps=2, grad_clip=None)
+    trainer = Trainer(model, task, tcfg)
+    u, _ = trainer.tx.update(g_ref, trainer.tx.init(params), params)
+    p_ref = optax.apply_updates(params, u)
+    l_ref = float(loss_fn(params, batches[2], None, True)[0])
+
+    opt_state = trainer.tx.init(params)
+    p1, _, _, logs = trainer._train_step(params, opt_state, groups[1],
+                                         jax.random.PRNGKey(3), 1.0)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    # and the logged loss is the tail batch's own loss, not halved
+    assert float(logs["loss"]) == pytest.approx(l_ref, rel=1e-4)
+
+
 def test_resume_from_last_checkpoint(tmp_path):
     model, task, loader, tcfg = _setup(tmp_path)
     tcfg.max_epochs = 2

@@ -293,6 +293,72 @@ def test_training_parity_warmup_matters():
     assert not math.isclose(jl[-1], losses_nowarm[-1], rel_tol=1e-3)
 
 
+def test_use_ema_in_loss_parity_vs_torch(tmp_path):
+    """use_ema_in_loss reproduces the reference's EMA-substituted
+    training loss (goten_model.py:479-497): the backprop'd loss at step
+    t>0 is rate*loss_t + (1-rate)*EMA_{t-1} with the EMA detached, so
+    gradients scale by ema_rate.  8 optimizer steps from converter-
+    matched init must agree on the logged (smoothed) losses and the
+    final parameters."""
+    head = HeadConfig(kind="atomwise", mean=0.1, stddev=1.5,
+                      activation="silu")
+    model = GotenModel(CFG, head)
+    task = QM9Task("U0", dataset_meta={"mean": 0.1, "std": 1.5},
+                   task_config={"task_loss": "MSELoss"})
+    batches = list(_loader(n=12, bs=4))
+    params = model.init(jax.random.PRNGKey(0), batches[0])
+    base_lr, clip, rate, n_steps = 2e-3, 5.0, 0.3, 8
+
+    # ---- torch side: the reference calculate_loss semantics ----------
+    sd0 = model_params_to_state_dict(params, CFG, head)
+    tmodel = TorchGotenModel(sd0, CFG, n_head_layers=head.n_layers)
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=base_lr, eps=1e-7)
+    ema = None
+    torch_logged = []
+    for step in range(n_steps):
+        b = batches[step % len(batches)]
+        z, pos, src, dst, bi, n_g = _real_views(b)
+        y_true = torch.as_tensor(np.asarray(b.y)[:n_g, :1])
+        opt.zero_grad()
+        loss_i = ((tmodel(z, pos, src, dst, bi, n_g) - y_true) ** 2).mean()
+        if ema is None:
+            ema = loss_i.detach()           # first batch: store, no sub
+        else:
+            loss_i = rate * loss_i + (1 - rate) * ema
+            ema = loss_i.detach()
+        loss_i.backward()
+        torch.nn.utils.clip_grad_norm_(tmodel.parameters(), clip)
+        opt.step()
+        torch_logged.append(float(loss_i))
+
+    # ---- jax side: Trainer with use_ema_in_loss ----------------------
+    tcfg = TrainerConfig(lr=base_lr, grad_clip=clip, scheduler="none",
+                         ema_rate=rate, ema_stages=("train",),
+                         use_ema_in_loss=True,
+                         workdir=str(tmp_path))
+    trainer = Trainer(model, task, tcfg)
+    p = jax.tree.map(lambda x: x.copy(), params)
+    opt_state = trainer.tx.init(p)
+    rng = jax.random.PRNGKey(0)
+    jax_logged = []
+    for step in range(n_steps):
+        b = batches[step % len(batches)]
+        scale = trainer._ema_grad_scale()   # fit()'s host-side sequence
+        p, opt_state, rng, logs = trainer._train_step(
+            p, opt_state, b, rng, 1.0, scale)
+        jax_logged.append(trainer._stage_ema("train", float(logs["loss"])))
+
+    assert trainer._ema_grad_scale() == rate  # engaged after step 0
+    np.testing.assert_allclose(jax_logged, torch_logged, rtol=5e-4,
+                               atol=1e-5)
+    p_sd = model_params_to_state_dict(p, CFG, head)
+    final_t = dict(zip(tmodel._param_keys,
+                       (x.detach().numpy() for x in tmodel.plist)))
+    for k in final_t:
+        np.testing.assert_allclose(p_sd[k], final_t[k], rtol=2e-3,
+                                   atol=2e-5, err_msg=f"param drift at {k}")
+
+
 def test_cli_test_evaluates_reference_ckpt(tmp_path):
     """cli.test on a published-format Lightning .ckpt: full model is
     rebuilt (head included), label inferred from hyper_parameters —
