@@ -348,6 +348,11 @@ def main():
         edge_state_pair_dtype=os.environ.get("BENCH_T_STATE", "0") == "1",
         # chunked fused-ELL table budget (BENCH_TABLE_ROWS, rows)
         fused_table_rows=int(os.environ.get("BENCH_TABLE_ROWS", 2048)),
+        # lax.scan over the homogeneous layers (BENCH_SCAN, default
+        # off): compiles ~40% faster but the scan's backward pays
+        # ~17 ms/step in stacked-gradient accumulation fusions at the
+        # QM9 headline (measured r04) — a compile-vs-step tradeoff
+        scan_layers=os.environ.get("BENCH_SCAN", "0") == "1",
         pair_dtype=jnp.bfloat16 if pair_dtype == "bf16" else jnp.float32)
     task = QM9Task("U0", dataset_meta={"mean": 0.0, "std": 1.0})
     model = GotenModel(cfg, task.build_head(), layout=layout)

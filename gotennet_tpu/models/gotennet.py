@@ -173,6 +173,25 @@ class GotenNetConfig:
     # chunk_rows + 2*halo — extending the fused formulation to
     # 10^4-atom systems.  0 disables chunking (full table always).
     fused_table_rows: int = 2048
+    # Fused path: compute position cotangents (g_rl / g_env) in the
+    # Pallas VJP.  None = auto: GotenModel resolves it to the head's
+    # ``derivative`` flag (forces need dE/dpos; energy-only training
+    # does not, and skipping them trims the backward kernel).  Set
+    # True explicitly if differentiating the bare representation
+    # w.r.t. positions outside GotenModel.
+    pos_grads: Optional[bool] = None
+    # Roll the homogeneous (GATA+EQFF) layers into one jax.lax.scan
+    # with layer-stacked parameters instead of unrolling them in the
+    # traced graph (the last layer — the only structurally different
+    # one, reference gotennet.py:874 — stays an unrolled tail).  Cuts
+    # XLA/Mosaic compile time ~40% (61 -> 36 s at the QM9 headline)
+    # with identical math, but the scan's BACKWARD pays ~17 ms/step
+    # extra in stacked-gradient accumulation/slicing fusions (measured
+    # v5e r04) — a compile-vs-step tradeoff, so default off; the
+    # forward-only cost is ~1 ms (inference-friendly).  The parameter
+    # tree changes from gata_{i}/eqff_{i} to a stacked 'layers'
+    # collection — utils/params.{roll,unroll}_layer_params convert.
+    scan_layers: bool = False
 
     def __post_init__(self):
         if self.n_atom_basis % self.num_heads:

@@ -65,10 +65,15 @@ class NodeInitDense(fnn.Module):
                            (cfg.max_z, d), jnp.float32)
         h_src = a_nbr[z]  # [G, M, D]
         env = cosine_cutoff(dist, cfg.cutoff)  # [G, M, M]
+        # pair projection in pair_dtype (HBM-stream [G,M,M,D]); the
+        # neighbor reduction accumulates f32
+        pd = cfg.pair_dtype
         r_feat = Dense(d, activation=None, weight_init=cfg.weight_init,
-                       bias_init=cfg.bias_init, name="W_ndp")(phi)
-        r_feat = r_feat * (env * adj)[..., None]  # [G, M, M, D]
-        m_i = jnp.einsum("gijd,gjd->gid", r_feat, h_src)
+                       bias_init=cfg.bias_init, dtype=pd,
+                       name="W_ndp")(phi.astype(pd))
+        r_feat = r_feat * (env * adj)[..., None].astype(pd)  # [G, M, M, D]
+        m_i = jnp.einsum("gijd,gjd->gid", r_feat, h_src.astype(pd),
+                         preferred_element_type=jnp.float32)
         fused = jnp.concatenate([h, m_i], axis=-1)
         return MLP([2 * d, d, d], activation=act, last_activation=None,
                    weight_init=cfg.weight_init, bias_init=cfg.bias_init,
@@ -80,10 +85,15 @@ class EdgeInitDense(fnn.Module):
 
     @fnn.compact
     def __call__(self, phi, h) -> jnp.ndarray:
+        # pair projection + combine run in pair_dtype (pure HBM
+        # streams over [G,M,M,*]); the edge state itself stays f32
+        pd = self.cfg.pair_dtype
         w = Dense(self.cfg.n_atom_basis, activation=None,
                   weight_init="xavier_uniform", bias_init="zeros",
-                  name="W_erp")(phi)  # [G, M, M, D]
-        return (h[:, :, None, :] + h[:, None, :, :]) * w
+                  dtype=pd, name="W_erp")(phi.astype(pd))  # [G, M, M, D]
+        hp = h.astype(pd)
+        return ((hp[:, :, None, :] + hp[:, None, :, :]) * w).astype(
+            jnp.float32)
 
 
 class _LinearLeaf(fnn.Module):
@@ -202,7 +212,9 @@ class GATADense(fnn.Module):
             fused_fn = make_fused_gata(
                 cfg.lmax, H, cfg.sep_dir, cfg.sep_tensor,
                 interpret=jax.default_backend() != "tpu",
-                pair_dtype=pd)
+                pair_dtype=pd,
+                # None = unresolved (bare-module use): keep full grads
+                pos_grads=cfg.pos_grads is not False)
             d_h, dX = fused_fn(t_ij, q, k, x_g, v, rl_ij, X, env_signed,
                                scale, wre_k, wre_b, wrs_k, wrs_b)
         else:
@@ -248,7 +260,11 @@ class GATADense(fnn.Module):
             def pair_terms(lo, hi):
                 # per-m broadcast multiply-accumulate: einsum forms with
                 # the channel axis as a batch dim force operand
-                # relayouts (see the dX comment above)
+                # relayouts (see the dX comment above).  Everything
+                # stays in pair_dtype: these [G,M,M,C] chains are pure
+                # HBM streams (profiled ~10 ms/step in f32 at the QM9
+                # headline), and the residual t_ij update below is the
+                # only f32 consumer.
                 eq = EQ[..., lo:hi, :].astype(pd)
                 ek = EK[..., lo:hi, :].astype(pd)
                 S = pq = pk = 0.0
@@ -260,11 +276,11 @@ class GATADense(fnn.Module):
                         r_m = rl_ij[..., lo + m:lo + m + 1].astype(pd)
                         pq = pq + eq_m * r_m
                         pk = pk + ek_m * r_m
-                S = S.astype(jnp.float32)
                 if not info["rej"]:
                     return S
-                r2 = jnp.sum(rl_ij[..., lo:hi] ** 2, axis=-1)[..., None]
-                return S - (pq * pk).astype(jnp.float32) * (2.0 - r2)
+                r2 = jnp.sum(rl_ij[..., lo:hi] ** 2,
+                             axis=-1)[..., None].astype(pd)
+                return S - pq * pk * (2.0 - r2)
 
             if cfg.sep_htr:
                 w_ij = sum(pair_terms(lo, hi)
@@ -275,21 +291,24 @@ class GATADense(fnn.Module):
             if info["mlp"] or info["mlpa"]:
                 gamma_t = MLP([D, emlp_dim, D], activation=act,
                               last_activation=None if info["mlp"] else act,
-                              norm=cfg.edge_ln, **dense_kw, name="gamma_t")
+                              norm=cfg.edge_ln, **dense_kw, dtype=pd,
+                              name="gamma_t")
             else:
                 gamma_t = MLP([D, D], activation=act, last_activation=act,
-                              norm=cfg.edge_ln, **dense_kw, name="gamma_t")
+                              norm=cfg.edge_ln, **dense_kw, dtype=pd,
+                              name="gamma_t")
             gt = gamma_t(t_ij)
 
             gw = w_ij
             if info["lin_w"] > 0:
+                gw = gw.astype(jnp.float32)   # LayerNorm/Dense stay f32
                 if info["lin_ln"] == 1:
                     gw = fnn.LayerNorm(epsilon=1e-5, name="gamma_w_ln")(gw)
                 if info["lin_w"] % 10 == 2:
                     gw = act(gw)
                 gw = Dense(D, activation=None,
                            norm="layer" if info["lin_ln"] == 2 else "",
-                           **dense_kw, name="W_edp")(gw)
+                           **dense_kw, dtype=pd, name="W_edp")(gw)
             if info["gated"] == "gatedt":
                 gw = jnp.tanh(gw)
             elif info["gated"] == "gated":
@@ -297,7 +316,7 @@ class GATADense(fnn.Module):
             elif info["gated"] == "act":
                 gw = jax.nn.silu(gw)
 
-            t_ij = t_ij + gt * gw
+            t_ij = t_ij + (gt * gw).astype(t_ij.dtype)
 
         return h, X, t_ij
 
@@ -389,6 +408,28 @@ class GATADense(fnn.Module):
         return d_h, jnp.stack(dX_cols, axis=2)  # dX: [G, M, L, D]
 
 
+class _DenseBlock(fnn.Module):
+    """One homogeneous (non-last) GATA+EQFF layer as a scan body:
+    ``carry = (h, X, t_ij)``; rl_ij/dist/pair_mask/n_edges broadcast.
+    Used by ``GotenNetConfig.scan_layers`` — submodule names ('gata',
+    'eqff') deliberately drop the layer index, the scan's stacked
+    leading axis replaces it (utils/params converts either way)."""
+
+    cfg: GotenNetConfig
+    deterministic: bool = True
+
+    @fnn.compact
+    def __call__(self, carry, rl_ij, dist, pair_mask, n_edges):
+        h, X, t_ij = carry
+        h, X, t_ij = GATADense(
+            self.cfg, last_layer=False, deterministic=self.deterministic,
+            name="gata")(h, X, t_ij, rl_ij, dist, pair_mask, n_edges)
+        if self.cfg.edge_state_pair_dtype:
+            t_ij = t_ij.astype(self.cfg.pair_dtype)
+        h, X = EQFF(self.cfg, name="eqff")(h, X)
+        return (h, X, t_ij), None
+
+
 class GotenNetDense(fnn.Module):
     """Full dense-layout stack; parameter tree identical to GotenNet."""
 
@@ -447,9 +488,29 @@ class GotenNetDense(fnn.Module):
         sd = cfg.pair_dtype if cfg.edge_state_pair_dtype else None
         if sd is not None:
             t_ij = t_ij.astype(sd)
-        for i in range(cfg.n_interactions):
+        n = cfg.n_interactions
+        if cfg.scan_layers and n > 1:
+            # one lax.scan over the n-1 homogeneous layers with
+            # layer-stacked params; the last layer (no edge update,
+            # reference gotennet.py:874) is an unrolled tail below
+            block = _DenseBlock
+            if cfg.remat:
+                block = fnn.remat(block)
+            scanned = fnn.scan(
+                block,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(fnn.broadcast,) * 4,
+                length=n - 1,
+            )(cfg, deterministic=deterministic, name="layers")
+            (h, X, t_ij), _ = scanned((h, X, t_ij), rl_ij, dist,
+                                      pair_mask, n_edges)
+            start = n - 1
+        else:
+            start = 0
+        for i in range(start, n):
             h, X, t_ij = gata_cls(
-                cfg, last_layer=(i == cfg.n_interactions - 1),
+                cfg, last_layer=(i == n - 1),
                 deterministic=deterministic, name=f"gata_{i}")(
                     h, X, t_ij, rl_ij, dist, pair_mask, n_edges)
             if sd is not None:

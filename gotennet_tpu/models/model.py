@@ -87,7 +87,14 @@ class GotenModel(fnn.Module):
         if self.layout == "dense":
             from gotennet_tpu.graph.dense_batch import flatten_nodes
             from gotennet_tpu.models.gotennet_dense import GotenNetDense
-            h, X = GotenNetDense(self.cfg, name="representation")(
+            # resolve pos_grads=None to the head's needs: only force
+            # heads differentiate positions (apply_with_forces), so
+            # energy-only training skips g_rl/g_env in the fused VJP
+            cfg = self.cfg
+            if cfg.pos_grads is None:
+                cfg = dataclasses.replace(
+                    cfg, pos_grads=self.head.derivative)
+            h, X = GotenNetDense(cfg, name="representation")(
                 batch, deterministic=deterministic)
             g, m = h.shape[:2]
             h = h.reshape(g * m, -1)

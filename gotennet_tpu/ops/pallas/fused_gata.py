@@ -272,7 +272,7 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
                 gt_ref, gq_ref, gk_ref, gxg_ref, gv_ref, grl_ref, gx_ref,
                 genv_ref, gscale_ref, gwre_ref, gbre_ref, gwrs_ref,
                 gbrs_ref, *, TI, M, D, H, lmax, mult, sep_dir, sep_tensor,
-                pair_dtype, scale_heads=False):
+                pair_dtype, scale_heads=False, pos_grads=True):
     """Analytic VJP of _kernel, one grid step per (graph, i-tile).
 
     Weight-gradient outputs map every grid step to block 0 and are
@@ -285,6 +285,12 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
     pair_dtype) would produce — with every reduction/accumulation in
     f32; the attention-softmax backward and the gamma_re chain stay
     f32 (one block's worth, precision-sensitive).
+
+    ``pos_grads=False`` (energy-only training): the g_rl and g_env
+    outputs — cotangents that only feed dE/dpos — are skipped, which
+    drops the per-m [TB, D] reductions for g_rl, the per-block g_env
+    accumulation, and the dir blocks' o recompute.  The wrapper
+    returns zeros for those slots.
     """
     f32 = jnp.float32
     pd = pair_dtype
@@ -365,12 +371,13 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
         xg_j = tile_j(xg[:, co:co + D])
         v_j = tile_j(v[:, co:co + D])
 
-        if degs_rl or degs_X:
+        if (degs_rl and pos_grads) or degs_X:
             o_c = tf * xg_j * envp_p + attn_c * v_j
-            for m in degs_rl:
-                gdx_m = rep_i(gdx_p[:, m, :])     # [TB, D]
-                grl_ref[0, :, m:m + 1] = jnp.sum(
-                    (gdx_m * o_c).astype(f32), axis=1, keepdims=True)
+            if pos_grads:
+                for m in degs_rl:
+                    gdx_m = rep_i(gdx_p[:, m, :])     # [TB, D]
+                    grl_ref[0, :, m:m + 1] = jnp.sum(
+                        (gdx_m * o_c).astype(f32), axis=1, keepdims=True)
             for m in degs_X:
                 gdx_m = rep_i(gdx_p[:, m, :])
                 gx_ref[0, :, m, :] = gx_ref[0, :, m, :] + isum(o_c * gdx_m)
@@ -380,8 +387,9 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
                                     + isum(g_o * tf * envp_p))
         gv_ref[0, :, co:co + D] = (gv_ref[0, :, co:co + D]
                                    + isum(attn_c * g_o))
-        g_env = g_env + jnp.sum((g_o * tf * xg_j).astype(f32),
-                                axis=1, keepdims=True)
+        if pos_grads:
+            g_env = g_env + jnp.sum((g_o * tf * xg_j).astype(f32),
+                                    axis=1, keepdims=True)
         g_attn = g_attn + jax.lax.dot_general(
             g_o * v_j, hsel,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -483,16 +491,19 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
     gbre_ref[...] = gbre_ref[...] + jnp.sum(g_zre, axis=0, keepdims=True)
 
     gt_ref[0] = gt_acc
-    genv_ref[0] = jnp.where(valid, g_env, 0.0)
+    if pos_grads:
+        genv_ref[0] = jnp.where(valid, g_env, 0.0)
 
 
 def _pallas_backward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
                      W_re, b_re, W_rs, b_rs, sm, g_dh, g_dX, *,
                      lmax: int, num_heads: int, sep_dir: bool,
                      sep_tensor: bool, interpret: bool = False,
-                     pair_dtype=jnp.float32):
+                     pair_dtype=jnp.float32, pos_grads: bool = True):
     """Run the backward kernel; returns cotangents for every
-    differentiable input of _pallas_forward (in input order)."""
+    differentiable input of _pallas_forward (in input order).
+    ``pos_grads=False`` returns zeros for g_rl/g_env (see _bwd_kernel).
+    """
     G, M, _, D = t_ij.shape
     L = rl_ij.shape[-1]
     H = num_heads
@@ -506,7 +517,7 @@ def _pallas_backward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
     kern = functools.partial(
         _bwd_kernel, TI=TI, M=M, D=D, H=H, lmax=lmax, mult=mult,
         sep_dir=sep_dir, sep_tensor=sep_tensor, pair_dtype=pair_dtype,
-        scale_heads=(SH == H))
+        scale_heads=(SH == H), pos_grads=pos_grads)
 
     def ispec(shape):
         return pl.BlockSpec((1,) + shape,
@@ -567,6 +578,11 @@ def _pallas_backward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
       sm.reshape(G, M * M, H), g_dh, g_dX)
     (g_t, g_q, g_k, g_xg, g_v, g_rl, g_X, g_env, g_scale,
      g_Wre, g_bre, g_Wrs, g_brs) = outs
+    if not pos_grads:
+        # the kernel never wrote these output blocks — replace the
+        # uninitialised buffers with exact zeros
+        g_rl = jnp.zeros_like(g_rl)
+        g_env = jnp.zeros_like(g_env)
     return (g_t.reshape(G, M, M, D), g_q, g_k, g_xg, g_v,
             g_rl.reshape(G, M, M, L), g_X,
             g_env.reshape(G, M, M),
@@ -577,7 +593,7 @@ def _pallas_backward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
 @functools.lru_cache(maxsize=None)
 def make_fused_gata(lmax: int, num_heads: int, sep_dir: bool,
                     sep_tensor: bool, interpret: bool = False,
-                    pair_dtype=jnp.float32):
+                    pair_dtype=jnp.float32, pos_grads: bool = True):
     """Build the trainable fused step: Pallas forward + Pallas backward
     wired through jax.custom_vjp.
 
@@ -585,6 +601,11 @@ def make_fused_gata(lmax: int, num_heads: int, sep_dir: bool,
     b_re, W_rs, b_rs) -> (d_h, dX).  All tensor inputs are
     differentiable (env_signed/rl_ij carry the position gradient for
     force training; the masked region contributes zero).
+
+    ``pos_grads=False`` (energy-only training, where positions are
+    never differentiated) makes the VJP return ZEROS for the rl_ij and
+    env_signed cotangents instead of computing them — do not use it
+    under ``jax.grad`` w.r.t. positions.
     """
     kw = dict(lmax=lmax, num_heads=num_heads, sep_dir=sep_dir,
               sep_tensor=sep_tensor, interpret=interpret,
@@ -602,7 +623,8 @@ def make_fused_gata(lmax: int, num_heads: int, sep_dir: bool,
     def bwd(res, cots):
         args, sm = res
         g_dh, g_dX = cots
-        grads = _pallas_backward(*args, sm, g_dh, g_dX, **kw)
+        grads = _pallas_backward(*args, sm, g_dh, g_dX, **kw,
+                                 pos_grads=pos_grads)
         # custom_vjp requires cotangent dtypes == primal dtypes (e.g.
         # bf16 t_ij under edge_state_pair_dtype)
         return tuple(g.astype(a.dtype) for g, a in zip(grads, args))

@@ -354,3 +354,58 @@ def test_dense_rotation_equivariance():
         np.asarray(Xr)[..., 0:3, :],
         np.einsum("ab,gnbc->gnac", q, np.asarray(X)[..., 0:3, :]),
         rtol=1e-4, atol=1e-4)
+
+
+def test_scan_layers_matches_unrolled():
+    """scan_layers=True (one lax.scan over the homogeneous layers,
+    stacked params) computes the same function as the unrolled stack:
+    roll_layer_params converts the unrolled init, outputs and parameter
+    gradients agree, and the round-trip through unroll is exact."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gotennet_tpu.graph.dense_batch import collate_dense
+    from gotennet_tpu.utils.params import (
+        roll_layer_params,
+        unroll_layer_params,
+    )
+
+    rng = np.random.default_rng(0)
+    batch = collate_dense(_graphs(rng), num_graphs=4, max_atoms=10)
+    cfg = GotenNetConfig(n_atom_basis=32, n_interactions=3, lmax=2,
+                         n_rbf=8, num_heads=4)
+    m0 = GotenNetDense(cfg)
+    p0 = m0.init(jax.random.PRNGKey(0), batch)
+    h0, X0 = m0.apply(p0, batch)
+
+    cfg_s = dataclasses.replace(cfg, scan_layers=True)
+    ms = GotenNetDense(cfg_s)
+    ps = roll_layer_params(p0, cfg.n_interactions)
+    assert (jax.tree.structure(ps)
+            == jax.tree.structure(ms.init(jax.random.PRNGKey(0), batch)))
+    hs, Xs = ms.apply(ps, batch)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(h0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Xs), np.asarray(X0),
+                               rtol=1e-5, atol=1e-5)
+
+    # parameter gradients agree through the conversion
+    def loss_u(p):
+        h, X = m0.apply(p, batch)
+        return jnp.sum(h ** 2) + jnp.sum(X ** 2)
+
+    def loss_s(p):
+        h, X = ms.apply(p, batch)
+        return jnp.sum(h ** 2) + jnp.sum(X ** 2)
+
+    g_u = jax.grad(loss_u)(p0)
+    g_s = unroll_layer_params(jax.grad(loss_s)(ps), cfg.n_interactions)
+    for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_u)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+    # exact round-trip
+    back = unroll_layer_params(ps, cfg.n_interactions)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(p0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

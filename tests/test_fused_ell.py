@@ -244,6 +244,7 @@ def test_fused_ell_per_head_scale():
                                    err_msg=f"arg {i}")
 
 
+@pytest.mark.hw
 @pytest.mark.skipif(os.environ.get("GOTENNET_TPU_TESTS") != "1",
                     reason="hardware-gated (GOTENNET_TPU_TESTS=1)")
 def test_fused_ell_on_tpu_hardware():

@@ -231,6 +231,7 @@ def test_fused_backward_per_head_scale():
             err_msg=f"grad mismatch for arg {i}")
 
 
+@pytest.mark.hw
 @pytest.mark.skipif(os.environ.get("GOTENNET_TPU_TESTS") != "1",
                     reason="hardware test; set GOTENNET_TPU_TESTS=1 on a "
                            "TPU host to run the compiled (non-interpret) "
