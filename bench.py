@@ -271,12 +271,55 @@ def bench_pallas():
     }))
 
 
+def bench_multichip():
+    """BENCH_NDEV=n: per-chip edges/s + weak-scaling efficiency for
+    every sharded trainer mode (data-parallel dense, data x edge edge
+    partitioning, ELL row sharding) over the first n visible devices —
+    utils/bench_multichip.py through the real Trainer/shard_map path.
+    One JSON line per mode.  Hardware day (a real multi-chip slice) is
+    exactly this invocation; BENCH_FORCE_CPU=1 proves the plumbing on a
+    virtual CPU mesh when the slice has fewer devices.  BENCH_NDEV_D /
+    BENCH_NDEV_LAYERS size the model (default 128/3 — big enough that
+    collectives overlap matters, small enough for CPU dryruns);
+    BENCH_BATCH is the per-device graphs per step (default 32)."""
+    import jax
+
+    from gotennet_tpu.models.gotennet import GotenNetConfig
+    from gotennet_tpu.utils.bench_multichip import multichip_bench
+
+    n = int(os.environ["BENCH_NDEV"])
+    avail = len(jax.devices())
+    if n > avail:
+        raise SystemExit(
+            f"BENCH_NDEV={n} but only {avail} devices visible; on a "
+            f"CPU host set BENCH_FORCE_CPU=1 (virtual mesh) or run on "
+            f"a TPU slice with >= {n} chips")
+    cfg = GotenNetConfig(
+        n_atom_basis=int(os.environ.get("BENCH_NDEV_D", 128)),
+        n_interactions=int(os.environ.get("BENCH_NDEV_LAYERS", 3)),
+        lmax=2, n_rbf=32, num_heads=8, attn_dropout=0.0)
+    for r in multichip_bench(
+            n, cfg=cfg,
+            steps=int(os.environ.get("BENCH_STEPS", 5)),
+            batch_size=int(os.environ.get("BENCH_BATCH", 32))):
+        print(json.dumps({
+            "metric": "multichip_scaling_efficiency",
+            "value": r["efficiency"],
+            "unit": "per-chip edges/s ratio vs 1 device",
+            "vs_baseline": None,  # reference publishes no scaling data
+            **r,
+        }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     if os.environ.get("BENCH_MODE") == "pallas":
         return bench_pallas()
+
+    if os.environ.get("BENCH_NDEV"):
+        return bench_multichip()
 
     batch_size = int(os.environ.get("BENCH_BATCH", 256))
     n_steps = int(os.environ.get("BENCH_STEPS", 20))
@@ -584,4 +627,13 @@ def main():
 
 
 if __name__ == "__main__":
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        # virtual CPU mesh for BENCH_NDEV plumbing dryruns; must happen
+        # before the first jax import (all jax imports live inside the
+        # bench functions)
+        n = os.environ.get("BENCH_NDEV", "8")
+        os.environ.setdefault(
+            "XLA_FLAGS", f"--xla_force_host_platform_device_count={n}")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     sys.exit(main())
