@@ -221,8 +221,9 @@ def bench_pallas():
 
     from gotennet_tpu.ops.pallas.fused_gata import make_fused_gata
 
-    def make_fused_grad(pd):
-        fn = make_fused_gata(lmax, H, True, True, pair_dtype=pd)
+    def make_fused_grad(pd, pos_grads=True):
+        fn = make_fused_gata(lmax, H, True, True, pair_dtype=pd,
+                             pos_grads=pos_grads)
 
         def loss(tt):
             d_h, dX = fn(tt, q, k_, xg, v, rl, X, env_signed, scale,
@@ -251,6 +252,9 @@ def bench_pallas():
     dt_xla = timed(make_xla_step(jnp.bfloat16))
     dt_xla_f32 = timed(make_xla_step(jnp.float32))
     dt_fused_g = timed(make_fused_grad(jnp.bfloat16))
+    # energy-only training path: VJP without position cotangents
+    dt_fused_g_nopos = timed(make_fused_grad(jnp.bfloat16,
+                                             pos_grads=False))
     dt_xla_g = timed(make_xla_grad(jnp.bfloat16))
     pairs = G * M * M
     print(json.dumps({
@@ -265,6 +269,7 @@ def bench_pallas():
         "xla_ms": round(dt_xla * 1e3, 3),
         "xla_f32_ms": round(dt_xla_f32 * 1e3, 3),
         "fused_fwdbwd_ms": round(dt_fused_g * 1e3, 3),
+        "fused_fwdbwd_nopos_ms": round(dt_fused_g_nopos * 1e3, 3),
         "xla_fwdbwd_ms": round(dt_xla_g * 1e3, 3),
         "batch_graphs": G,
         "device": str(jax.devices()[0]),

@@ -146,24 +146,35 @@ def _kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
         return tf.astype(pd) * xg_j * envp + attn_c * v_j
 
     # --- scalar group -> d_h (j-sums accumulate f32, as in the XLA
-    # path which casts pair products to f32 before reducing) ---------
+    # path which casts pair products to f32 before reducing; dtype=f32
+    # keeps the accumulator f32 without materialising a converted
+    # [TI, M, D] array — measured ~5% of the forward) ----------------
     o_s = group(0)
-    dh_ref[0] = jnp.sum(o_s.reshape(TI, M, D).astype(f32), axis=1)
+    dh_ref[0] = jnp.sum(o_s.reshape(TI, M, D), axis=1, dtype=f32)
 
     # --- steerable groups -> dX -------------------------------------
+    # Direction terms: dX[i, m, :] = sum_j rl[i, j, m] * o_d[i, j, :]
+    # is a j-contraction — run it as ONE i-batched MXU matmul per
+    # degree block ([nm, M] @ [M, D] per i) instead of an m-loop of
+    # [TI, M, D] broadcast-multiply-reduce VPU passes (the kernel is
+    # VPU-bound; measured −15% forward at flagship shapes).
     rl = rl_ref[0].astype(pd)               # [TB, L]
     off = D
     for l, (lo, hi) in enumerate(degree_slices(lmax)):
         o_d = group(off + (l * D if sep_dir else 0)).reshape(TI, M, D)
-        for m in range(lo, hi):
-            rl_m = rl[:, m:m + 1].reshape(TI, M, 1)
-            dx_ref[0, :, m, :] = jnp.sum((o_d * rl_m).astype(f32), axis=1)
+        nm = hi - lo
+        rl3 = rl[:, lo:hi].reshape(TI, M, nm)
+        dx_ref[0, :, lo:hi, :] = jax.lax.dot_general(
+            rl3, o_d, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)     # [TI, nm, D]
     off += (lmax if sep_dir else 1) * D
+    # Tensor terms carry the channel axis on BOTH factors (elementwise
+    # in d), so they stay VPU multiply-reduces.
     for l, (lo, hi) in enumerate(degree_slices(lmax)):
         o_t = group(off + (l * D if sep_tensor else 0)).reshape(TI, M, D)
         for m in range(lo, hi):
             x_m = x_ref[0, :, m, :].astype(pd)  # [M(j), D]
-            acc = jnp.sum((o_t * x_m[None, :, :]).astype(f32), axis=1)
+            acc = jnp.sum(o_t * x_m[None, :, :], axis=1, dtype=f32)
             dx_ref[0, :, m, :] = dx_ref[0, :, m, :] + acc
 
 
@@ -340,12 +351,13 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
         return jnp.tile(a, (TI, 1))
 
     def isum(a):
-        """f32 sum_i of [TB, D] -> [M(j), D] (partial over this tile)."""
-        return jnp.sum(a.reshape(TI, M, -1).astype(f32), axis=0)
+        """f32 sum_i of [TB, D] -> [M(j), D] (partial over this tile).
+        dtype=f32 accumulates without materialising a converted copy."""
+        return jnp.sum(a.reshape(TI, M, -1), axis=0, dtype=f32)
 
     def jsum(a):
         """f32 sum_j of [TB, D] -> [TI(i), D]."""
-        return jnp.sum(a.reshape(TI, M, -1).astype(f32), axis=1)
+        return jnp.sum(a.reshape(TI, M, -1), axis=1, dtype=f32)
 
     g_attn = jnp.zeros((TB, H), f32)
     g_env = jnp.zeros((TB, 1), f32)
@@ -373,11 +385,16 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
 
         if (degs_rl and pos_grads) or degs_X:
             o_c = tf * xg_j * envp_p + attn_c * v_j
-            if pos_grads:
-                for m in degs_rl:
-                    gdx_m = rep_i(gdx_p[:, m, :])     # [TB, D]
-                    grl_ref[0, :, m:m + 1] = jnp.sum(
-                        (gdx_m * o_c).astype(f32), axis=1, keepdims=True)
+            if pos_grads and degs_rl:
+                # g_rl[(ij), m] = sum_d o_c[i, j, d] * gdx[i, m, d]:
+                # one i-batched MXU matmul over the contiguous degree
+                # block instead of an m-loop of [TB, D] mult+reduce
+                lo, hi = degs_rl[0], degs_rl[-1] + 1
+                out = jax.lax.dot_general(
+                    o_c.reshape(TI, M, D), gdx_p[:, lo:hi, :],
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=f32)       # [TI, M, nm]
+                grl_ref[0, :, lo:hi] = out.reshape(TB, hi - lo)
             for m in degs_X:
                 gdx_m = rep_i(gdx_p[:, m, :])
                 gx_ref[0, :, m, :] = gx_ref[0, :, m, :] + isum(o_c * gdx_m)
@@ -388,8 +405,8 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
         gv_ref[0, :, co:co + D] = (gv_ref[0, :, co:co + D]
                                    + isum(attn_c * g_o))
         if pos_grads:
-            g_env = g_env + jnp.sum((g_o * tf * xg_j).astype(f32),
-                                    axis=1, keepdims=True)
+            g_env = g_env + jnp.sum(g_o * tf * xg_j,
+                                    axis=1, keepdims=True, dtype=f32)
         g_attn = g_attn + jax.lax.dot_general(
             g_o * v_j, hsel,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -414,20 +431,28 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
                                       g_attn, g_env, gt_acc)
 
     # ---- dir blocks --------------------------------------------------
+    # g_o[(ij), d] = sum_m rl[i, j, m] * gdx[i, m, d] — the transpose
+    # of the forward's dir aggregation, likewise one i-batched MXU
+    # matmul per degree block instead of per-m broadcast-multiply-adds
     slices = degree_slices(lmax)
     off = D
+
+    def dir_g_o(lo, hi):
+        rl3 = rl_p[:, lo:hi].reshape(TI, M, hi - lo)
+        return jax.lax.dot_general(
+            rl3, gdx_p[:, lo:hi, :],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32).reshape(TB, D).astype(pd)
+
     if sep_dir:
         for l, (lo, hi) in enumerate(slices):
-            g_o = sum(rl_p[:, m:m + 1] * rep_i(gdx_p[:, m, :])
-                      for m in range(lo, hi))
             g_attn, g_env, gt_acc = block_bwd(
-                off + l * D, g_o, tuple(range(lo, hi)), (),
+                off + l * D, dir_g_o(lo, hi), tuple(range(lo, hi)), (),
                 g_attn, g_env, gt_acc)
     else:
-        g_o = sum(rl_p[:, m:m + 1] * rep_i(gdx_p[:, m, :])
-                  for lo, hi in slices for m in range(lo, hi))
+        lo, hi = slices[0][0], slices[-1][1]
         g_attn, g_env, gt_acc = block_bwd(
-            off, g_o, tuple(range(slices[0][0], slices[-1][1])), (),
+            off, dir_g_o(lo, hi), tuple(range(lo, hi)), (),
             g_attn, g_env, gt_acc)
     off += (lmax if sep_dir else 1) * D
 
