@@ -17,8 +17,12 @@ one ``lax.scan`` and the wall time of a single scalar readback is
 measured; the separately-measured readback round-trip is subtracted.
 
 Env knobs: BENCH_BATCH (default 256), BENCH_STEPS (default 20),
-BENCH_MODE=train|forward|pallas (default train; 'pallas' runs the
-kernel-vs-XLA microbench), BENCH_LAYOUT=dense|edge|ell
+BENCH_MODE=train|eval|pallas (default train; 'eval' is the
+forward-only inference pipeline with eval MFU — 'forward' is an
+alias; 'pallas' runs the kernel-vs-XLA microbench),
+BENCH_NDEV=n for the multi-chip scaling harness (one JSON line per
+sharded mode; BENCH_FORCE_CPU=1 for virtual-mesh dryruns),
+BENCH_LAYOUT=dense|edge|ell
 (default dense — batched [G,M,M] MXU formulation; 'edge' is the flat
 scatter/segment path; 'ell' is padded [N,K] neighbor rows),
 BENCH_PAIR_DTYPE=bf16|f32 (default bf16:
@@ -320,6 +324,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent XLA cache (production default, GOTENNET_XLA_CACHE=0
+    # disables): compile_s below is therefore the LAUNCH cost a user
+    # pays — ~60 s on a cold cache, seconds once warm
+    from gotennet_tpu.utils.xla_cache import enable_persistent_cache
+    cache_dir = enable_persistent_cache()
+
     if os.environ.get("BENCH_MODE") == "pallas":
         return bench_pallas()
 
@@ -329,6 +339,11 @@ def main():
     batch_size = int(os.environ.get("BENCH_BATCH", 256))
     n_steps = int(os.environ.get("BENCH_STEPS", 20))
     mode = os.environ.get("BENCH_MODE", "train")
+    if mode == "eval":
+        # evaluation/inference throughput (≙ reference
+        # testing_pipeline.py as a first-class pipeline): forward-only,
+        # deterministic (dropout off), same real-edge accounting
+        mode = "forward"
     layout = os.environ.get("BENCH_LAYOUT", "dense")
     pair_dtype = os.environ.get("BENCH_PAIR_DTYPE", "bf16")
     dataset = os.environ.get("BENCH_DATASET", "qm9")
@@ -619,12 +634,16 @@ def main():
         "step_ms": round(dt * 1e3, 3),
         "rtt_ms": round(rtt * 1e3, 1),
         "compile_s": round(compile_s, 1),
+        "xla_cache": cache_dir,
         "device": str(jax.devices()[0]),
     }
-    if layout == "dense" and mode == "train":
+    if layout == "dense":
         # auditable roofline position: analytic matmul FLOPs of the
-        # executed (padded) step over the chip's bf16 peak
+        # executed (padded) step over the chip's bf16 peak.  Eval mode
+        # is forward-only: 1/3 of the fwd+bwd convention's count.
         flops = analytic_train_flops(cfg, padded_pairs, padded_nodes)
+        if mode != "train":
+            flops /= 3.0
         peak = _peak_flops(jax.devices()[0])
         record["mfu"] = round(flops / dt / peak, 4)
         record["analytic_tflops_per_step"] = round(flops / 1e12, 3)

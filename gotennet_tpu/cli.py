@@ -390,6 +390,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return 0
+    # persistent XLA cache: every launch after the first skips the
+    # ~45-70 s step compilation (GOTENNET_XLA_CACHE=0 disables)
+    from gotennet_tpu.utils.xla_cache import enable_persistent_cache
+    enable_persistent_cache()
     mode = argv[0]
     overrides = argv[1:]
     root = "train.yaml"

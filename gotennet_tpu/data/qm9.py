@@ -12,9 +12,9 @@ statistics.  Ingestion paths, tried in order:
      optional ``uncharacterized.txt``) parsed directly — unit
      conversions follow the standard QM9 conventions (energies
      Hartree -> eV, atomization energies kcal/mol -> eV).
-
-This container has no network egress, so unlike the reference the
-download step is out of scope; point ``root`` at an existing copy.
+  3. Auto-download of the raw files from the same sources the
+     reference's PyG QM9 uses (``download_qm9``; ≙ _prepare_QM9,
+     datamodule.py:91-120) when neither is present.
 """
 
 from __future__ import annotations
@@ -113,22 +113,68 @@ def _parse_sdf_coords(lines, start):
     return z, pos, j + 1
 
 
+# The raw-data URLs the reference's PyG QM9 dataset downloads from
+# (torch_geometric.datasets.QM9.raw_url/raw_url2, reached via
+# datamodule.py:91-120 _prepare_QM9 on first use)
+QM9_RAW_URL = ("https://deepchemdata.s3-us-west-1.amazonaws.com/"
+               "datasets/molnet_publish/qm9.zip")
+QM9_UNCHAR_URL = "https://ndownloader.figshare.com/files/3195404"
+
+
+def download_qm9(root: str) -> None:
+    """Fetch the raw GDB-9 distribution into ``root``: qm9.zip
+    (gdb9.sdf + gdb9.sdf.csv) and uncharacterized.txt — the same
+    sources the reference's PyG QM9 dataset uses.  Skips files already
+    present; raises with a pointer to manual placement when there is
+    no network egress."""
+    import zipfile
+
+    from gotennet_tpu.utils.hub import download_file
+
+    os.makedirs(root, exist_ok=True)
+    sdf = os.path.join(root, "gdb9.sdf")
+    csv = os.path.join(root, "gdb9.sdf.csv")
+    if not (os.path.exists(sdf) and os.path.exists(csv)):
+        zpath = download_file(QM9_RAW_URL, os.path.join(root, "qm9.zip"))
+        with zipfile.ZipFile(zpath) as zf:
+            for name in zf.namelist():
+                base = os.path.basename(name)
+                if base in ("gdb9.sdf", "gdb9.sdf.csv"):
+                    with zf.open(name) as src, \
+                            open(os.path.join(root, base), "wb") as dst:
+                        dst.write(src.read())
+        os.remove(zpath)
+    unchar = os.path.join(root, "uncharacterized.txt")
+    if not os.path.exists(unchar):
+        download_file(QM9_UNCHAR_URL, unchar)
+
+
 def load_qm9(root: str, label: Optional[str] = None,
-             max_z: int = 100) -> MoleculeDataset:
+             max_z: int = 100, download: bool = True) -> MoleculeDataset:
     """Load QM9 from ``root``; ``y`` is [n, 19] (12 targets + extras) or
     filtered to one column when ``label`` is given (matching the
-    reference's _filter_label, qm9.py:209-220)."""
+    reference's _filter_label, qm9.py:209-220).  Missing raw files are
+    downloaded first when ``download`` (≙ reference _prepare_QM9 ->
+    PyG QM9 auto-download, datamodule.py:91-120)."""
     processed = os.path.join(root, "qm9_processed.npz")
     if os.path.exists(processed):
         ds = _load_processed(processed)
     else:
         sdf = os.path.join(root, "gdb9.sdf")
         csv = os.path.join(root, "gdb9.sdf.csv")
+        if download and not (os.path.exists(sdf) and os.path.exists(csv)):
+            try:
+                download_qm9(root)
+            except Exception as e:
+                raise FileNotFoundError(
+                    f"No QM9 data under {root} and the download from "
+                    f"{QM9_RAW_URL} failed ({e}); place gdb9.sdf + "
+                    "gdb9.sdf.csv (+ optional uncharacterized.txt) or "
+                    "qm9_processed.npz there manually") from e
         if not (os.path.exists(sdf) and os.path.exists(csv)):
             raise FileNotFoundError(
                 f"No QM9 data under {root}: expected qm9_processed.npz or "
-                "gdb9.sdf + gdb9.sdf.csv (this environment has no network "
-                "egress to download them)")
+                "gdb9.sdf + gdb9.sdf.csv")
         with open(csv) as f:
             rows = f.read().strip().split("\n")[1:]
         target = np.asarray(

@@ -207,10 +207,13 @@ class GotenNetConfig:
             raise ValueError(f"unknown aggr {self.aggr!r}")
         parse_edge_updates(self.edge_updates)  # validates the string
         if self.fused:
-            if self.activation not in ("swish", "silu"):
+            from gotennet_tpu.ops.activations import is_silu_like
+            if not is_silu_like(self.activation):
                 raise ValueError(
-                    "fused=True hardcodes silu in the Pallas kernel; "
-                    f"got activation={self.activation!r}")
+                    "fused=True hardcodes silu in the Pallas kernels; "
+                    f"got activation={self.activation!r} — set "
+                    "fused=False to use the XLA path with any "
+                    "activation")
             if self.aggr != "add":
                 raise ValueError("fused=True supports aggr='add' only")
 

@@ -186,6 +186,8 @@ class GATADense(fnn.Module):
 
         pd = cfg.pair_dtype  # storage dtype for big per-pair tensors
 
+        # fused=True implies silu/swish + aggr='add' (enforced by
+        # GotenNetConfig.__post_init__ with a pointer to fused=False)
         if cfg.fused:
             # One Pallas kernel for W_re/W_rs projections + SDDMM +
             # masked softmax + pair features + j-aggregation; the

@@ -300,8 +300,11 @@ class GATAELL(fnn.Module):
         v = unshard(Dense(mult * D, activation=None, **dense_kw,
                           name="gamma_v_1")(v))
 
+        from gotennet_tpu.ops.activations import is_silu_like
+        # belt-and-braces: GotenNetConfig.__post_init__ already rejects
+        # fused=True with a non-silu activation or non-add aggregation
         use_fused = (cfg.fused and cfg.aggr == "add"
-                     and cfg.activation in ("swish", "silu"))
+                     and is_silu_like(cfg.activation))
         if use_fused and cfg.fused_table_rows \
                 and h.shape[0] > cfg.fused_table_rows:
             # table beyond the VMEM bound: the fused path needs a

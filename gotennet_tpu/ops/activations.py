@@ -33,6 +33,14 @@ def _normalize(s: str) -> str:
     return s.lower().replace("-", "").replace("_", "").replace(" ", "")
 
 
+def is_silu_like(name) -> bool:
+    """True when ``name`` resolves to silu/swish — the only activation
+    the fused Pallas kernels implement (they hardcode x*sigmoid(x) for
+    the filter/gate nonlinearities); callers fall back to the XLA path
+    otherwise."""
+    return isinstance(name, str) and _normalize(name) in ("silu", "swish")
+
+
 _ACTIVATIONS = {
     "ssp": shifted_softplus,
     "softplus": shifted_softplus,  # reference maps 'softplus' -> shifted

@@ -41,7 +41,7 @@ _FAST_TESTS = {
     ("test_torch_parity.py",
      "test_jax_matches_torch_oracle"
      "[eu=True_ln=_aggr=add_rbf=expnorm_sh=True_sd=True]"),
-    ("test_fused_gata.py", "test_fused_backward_matches_autodiff[sep1-8]"),
+    ("test_fused_gata.py", "test_fused_backward_matches_autodiff[sep1-8-2-4]"),
     ("test_train.py", "test_overfit_tiny"),
     ("test_train.py", "test_checkpoint_roundtrip"),
     ("test_train.py", "test_plateau_and_warmup"),

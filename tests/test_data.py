@@ -169,3 +169,93 @@ def test_batchloader_full_probe_is_exact():
     n = sum(1 for _ in full)
     assert n == len(full)
     assert full.edge_capacity == cap0  # never rebucketed
+
+
+def test_qm9_uncharacterized_exclusion_and_conversions(tmp_path):
+    """uncharacterized.txt drops the listed molecule indices (1-based,
+    9 header + 2 footer lines, like the QM9 distribution's file), and
+    the per-target unit conversions match hand-computed values:
+    homo/U0 Hartree->eV, U0_atom kcal/mol->eV, mu/Cv unconverted."""
+    root = str(tmp_path)
+    with open(os.path.join(root, "gdb9.sdf"), "w") as f:
+        f.write(_SDF_MOL * 3)  # three water molecules
+    header = "mol_id," + ",".join(f"c{i}" for i in range(19))
+    # csv column order: A,B,C,mu,alpha,homo,...  (the loader reorders
+    # to mu-first) — give each molecule a distinct raw value
+    rows = []
+    for i in (1, 2, 3):
+        rows.append(f"gdb_{i}," + ",".join(str(float(i))
+                                           for _ in range(19)))
+    with open(os.path.join(root, "gdb9.sdf.csv"), "w") as f:
+        f.write(header + "\n" + "\n".join(rows) + "\n")
+    # exclude molecule 2 (1-based index in the first column)
+    unchar = ["header"] * 9 + ["  2  some reason", ""] + ["footer", ""]
+    with open(os.path.join(root, "uncharacterized.txt"), "w") as f:
+        f.write("\n".join(unchar))
+
+    ds = load_qm9(root)
+    assert len(ds) == 2                      # molecule 2 excluded
+    har2ev = 27.211386246
+    kcal2ev = 0.04336414
+    # y column order: mu alpha homo lumo gap r2 zpve U0 U H G Cv
+    #                 U0_atom U_atom H_atom G_atom A B C
+    for row, raw in zip(np.asarray(ds.y), (1.0, 3.0)):
+        assert abs(row[0] - raw) < 1e-5                 # mu: Debye, raw
+        assert abs(row[2] - raw * har2ev) < 1e-4        # homo
+        assert abs(row[7] - raw * har2ev) < 1e-4        # U0
+        assert abs(row[11] - raw) < 1e-5                # Cv
+        assert abs(row[12] - raw * kcal2ev) < 1e-6      # U0_atom
+
+
+def test_qm9_auto_download_wiring(tmp_path, monkeypatch):
+    """download_qm9 fetches qm9.zip + uncharacterized.txt from the
+    reference's PyG URLs and extracts gdb9.sdf/gdb9.sdf.csv; load_qm9
+    triggers it when raw files are missing (≙ _prepare_QM9's PyG
+    download, datamodule.py:91-120).  The transport is monkeypatched
+    (no egress here); URL routing, extraction and the parse are real."""
+    import io
+    import zipfile
+
+    from gotennet_tpu.data import qm9 as qm9_mod
+
+    header = "mol_id," + ",".join(f"c{i}" for i in range(19))
+    row = "gdb_1," + ",".join("1.0" for _ in range(19))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("qm9/gdb9.sdf", _SDF_MOL)
+        zf.writestr("qm9/gdb9.sdf.csv", header + "\n" + row + "\n")
+        zf.writestr("qm9/readme", "ignored")
+
+    calls = []
+
+    def fake_download(url, dest, timeout=60):
+        calls.append(url)
+        if url == qm9_mod.QM9_RAW_URL:
+            with open(dest, "wb") as f:
+                f.write(buf.getvalue())
+        elif url == qm9_mod.QM9_UNCHAR_URL:
+            with open(dest, "w") as f:
+                f.write("\n".join(["h"] * 9 + ["", "f", ""]))
+        else:
+            raise AssertionError(f"unexpected url {url}")
+        return dest
+
+    import gotennet_tpu.utils.hub as hub
+    monkeypatch.setattr(hub, "download_file", fake_download)
+
+    root = str(tmp_path)
+    ds = load_qm9(root, label="homo")
+    assert calls == [qm9_mod.QM9_RAW_URL, qm9_mod.QM9_UNCHAR_URL]
+    assert len(ds) == 1
+    assert os.path.exists(os.path.join(root, "gdb9.sdf"))
+    assert os.path.exists(os.path.join(root, "uncharacterized.txt"))
+    assert not os.path.exists(os.path.join(root, "qm9.zip"))
+
+    # no-egress failure mode: a fresh root with downloads failing
+    # raises a FileNotFoundError pointing at manual placement
+    def broken(url, dest, timeout=60):
+        raise IOError("no egress")
+    monkeypatch.setattr(hub, "download_file", broken)
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="manually"):
+        load_qm9(os.path.join(root, "fresh"))

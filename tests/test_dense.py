@@ -102,6 +102,18 @@ def test_dense_neighbor_cap_matches_edge_list():
 @pytest.mark.parametrize("cfg_kw", [
     dict(),
     dict(sep_dir=False, sep_tensor=False, scale_edge=True),
+    # config-grammar generality of the fused kernels (the reference
+    # supports lmax<=8, layers.py:783-1494; heads and evec_dim are
+    # free knobs): lmax=3 exercises the l=3 degree block in the fused
+    # GATA + HTR kernels; num_heads=8 changes every head-indicator
+    # matmul (Dh=4); evec_dim != D drops fused_htr to its documented
+    # XLA fallback while the fused message kernel stays on
+    dict(lmax=3),
+    dict(num_heads=8),
+    # evec_dim != D requires a linw token (the gate must project C->D,
+    # as in the reference's W_edp); fused_htr falls back to its XLA
+    # path per its grammar guard while the fused message kernel stays on
+    dict(lmax=3, num_heads=2, evec_dim=16, edge_updates="gated_linw"),
 ])
 def test_fused_dense_matches_unfused(cfg_kw):
     """fused=True (Pallas interpret) == unfused dense: outputs AND
@@ -110,8 +122,10 @@ def test_fused_dense_matches_unfused(cfg_kw):
 
     import jax.numpy as jnp
 
-    base = GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2,
-                          n_rbf=8, num_heads=4, **cfg_kw)
+    kw = dict(n_atom_basis=32, n_interactions=2, lmax=2, n_rbf=8,
+              num_heads=4)
+    kw.update(cfg_kw)
+    base = GotenNetConfig(**kw)
     fused_cfg = dataclasses.replace(base, fused=True, fused_htr=True)
     rng = np.random.default_rng(3)
     graphs = _graphs(rng)

@@ -84,14 +84,17 @@ def _random_inputs(seed, N, K, D, H, lmax, sep_dir, sep_tensor):
     return t, q, k, xg, v, rl, X, env, scale, nbr, W_re, b_re, W_rs, b_rs
 
 
-@pytest.mark.parametrize("sep,max_pairs", [
-    ((True, True), 4096),     # single-block grid
-    ((False, False), 4096),
-    ((True, True), 128),      # TB=16, NB=3: multi-block accumulators
+@pytest.mark.parametrize("sep,max_pairs,lmax,H", [
+    ((True, True), 4096, 2, 4),     # single-block grid
+    ((False, False), 4096, 2, 4),
+    ((True, True), 128, 2, 4),      # TB=16, NB=3: multi-block accumulators
+    # config-grammar generality: higher degree + other head counts
+    ((True, True), 4096, 3, 8),
+    ((False, True), 4096, 3, 2),
 ])
-def test_fused_ell_matches_oracle(sep, max_pairs):
+def test_fused_ell_matches_oracle(sep, max_pairs, lmax, H):
     sep_dir, sep_tensor = sep
-    N, K, D, H, lmax = 48, 8, 32, 4, 2
+    N, K, D = 48, 8, 32
     inputs = _random_inputs(0, N, K, D, H, lmax, sep_dir, sep_tensor)
 
     d_h, dX, attn = jax.jit(
@@ -108,16 +111,17 @@ def test_fused_ell_matches_oracle(sep, max_pairs):
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("sep,max_pairs", [
-    ((True, True), 4096),
-    ((False, False), 4096),
-    ((True, True), 256),      # bwd TB=16, NB=3
+@pytest.mark.parametrize("sep,max_pairs,lmax,H", [
+    ((True, True), 4096, 2, 4),
+    ((False, False), 4096, 2, 4),
+    ((True, True), 256, 2, 4),      # bwd TB=16, NB=3
+    ((True, True), 4096, 3, 8),     # higher degree + other head counts
 ])
-def test_fused_ell_backward_matches_autodiff(sep, max_pairs):
+def test_fused_ell_backward_matches_autodiff(sep, max_pairs, lmax, H):
     """Analytic Pallas VJP == jax.grad of the jnp oracle (all 13 float
     args; nbr is integer with a float0 cotangent)."""
     sep_dir, sep_tensor = sep
-    N, K, D, H, lmax = 48, 8, 32, 4, 2
+    N, K, D = 48, 8, 32
     inputs = tuple(jnp.asarray(a) for a in _random_inputs(
         1, N, K, D, H, lmax, sep_dir, sep_tensor))
     L = (lmax + 1) ** 2 - 1

@@ -77,16 +77,19 @@ def _random_inputs(seed, G, M, D, H, lmax, sep_dir, sep_tensor):
     return t, q, k, xg, v, rl, X, env, scale, W_re, b_re, W_rs, b_rs
 
 
-@pytest.mark.parametrize("sep,M", [
-    ((True, True), 8),
-    ((False, False), 8),
+@pytest.mark.parametrize("sep,M,lmax,H", [
+    ((True, True), 8, 2, 4),
+    ((False, False), 8, 2, 4),
     # M=72: 5184 pairs > the 4096-pair tile budget -> TI=36, NI=2,
     # exercising the i-tiled grid path (MD22-scale mechanics)
-    ((True, True), 72),
+    ((True, True), 72, 2, 4),
+    # config-grammar generality: higher degree + other head counts
+    ((True, True), 8, 3, 8),
+    ((True, False), 8, 3, 2),
 ])
-def test_fused_matches_oracle(sep, M):
+def test_fused_matches_oracle(sep, M, lmax, H):
     sep_dir, sep_tensor = sep
-    G, D, H, lmax = 2 if M > 8 else 3, 32, 4, 2
+    G, D = 2 if M > 8 else 3, 32
     inputs = _random_inputs(0, G, M, D, H, lmax, sep_dir, sep_tensor)
 
     d_h, dX, attn = jax.jit(
@@ -144,15 +147,16 @@ def _jnp_oracle(t, q, k, xg, v, rl, X, env_signed, scale, W_re, b_re,
     return d_h, jnp.concatenate(blocks, axis=2)
 
 
-@pytest.mark.parametrize("sep,M", [
-    ((True, True), 8),
-    ((False, False), 8),
-    ((True, True), 72),   # i-tiled grid (TI=36, NI=2)
+@pytest.mark.parametrize("sep,M,lmax,H", [
+    ((True, True), 8, 2, 4),
+    ((False, False), 8, 2, 4),
+    ((True, True), 72, 2, 4),   # i-tiled grid (TI=36, NI=2)
+    ((True, True), 8, 3, 8),    # higher degree + other head counts
 ])
-def test_fused_backward_matches_autodiff(sep, M):
+def test_fused_backward_matches_autodiff(sep, M, lmax, H):
     """Analytic Pallas VJP == jax.grad of the jnp oracle (all 13 args)."""
     sep_dir, sep_tensor = sep
-    G, D, H, lmax = 2, 32, 4, 2
+    G, D = 2, 32
     inputs = tuple(jnp.asarray(a) for a in _random_inputs(
         1, G, M, D, H, lmax, sep_dir, sep_tensor))
     L = (lmax + 1) ** 2 - 1

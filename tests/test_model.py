@@ -129,3 +129,21 @@ def test_graph_independence():
     m = len(g1["z"])
     np.testing.assert_allclose(np.asarray(h1)[:m], np.asarray(h2)[:m],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_config_grammar_guards():
+    """fused=True is only valid for the kernel-supported grammar:
+    silu/swish activation (any spelling) and aggr='add'; anything else
+    is an explicit config error pointing at fused=False."""
+    import pytest
+
+    from gotennet_tpu.models.gotennet import GotenNetConfig
+
+    GotenNetConfig(n_atom_basis=32, num_heads=4, fused=True,
+                   activation="SiLU")  # case-insensitive, no error
+    with pytest.raises(ValueError, match="hardcodes silu"):
+        GotenNetConfig(n_atom_basis=32, num_heads=4, fused=True,
+                       activation="relu")
+    with pytest.raises(ValueError, match="aggr='add'"):
+        GotenNetConfig(n_atom_basis=32, num_heads=4, fused=True,
+                       aggr="mean")
