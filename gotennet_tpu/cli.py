@@ -6,10 +6,14 @@ training_pipeline.py / testing_pipeline.py):
 
     python -m gotennet_tpu.cli train experiment=qm9_u0 label=homo
     python -m gotennet_tpu.cli test checkpoint=runs/x/ckpt_best
+    python -m gotennet_tpu.cli sweep experiment=smoke model.representation.lmax=1,2
+    python -m gotennet_tpu.cli parity checkpoints=QM9_small_homo,QM9_small_U0
 
 Composes the YAML config tree (utils/config.py), builds the data
 pipeline + task + model + trainer, runs fit and/or evaluation, and
-writes metrics + checkpoints into the run dir.
+writes metrics + checkpoints into the run dir.  ``parity`` evaluates
+published reference checkpoints (alias/URL/.ckpt via the converter)
+and appends the MAE table to BASELINE.md.
 """
 
 from __future__ import annotations
@@ -374,6 +378,47 @@ def test(cfg: Dict) -> Dict[str, float]:
     return results
 
 
+def parity(cfg: Dict, checkpoints: List[str],
+           out: str = "BASELINE.md") -> List[Dict[str, float]]:
+    """Evaluate each checkpoint via :func:`test` and append a markdown
+    MAE table to ``out`` — the one-command real-data parity packet
+    (≙ reference README.md:199-210 `test_gotennet checkpoint=...`,
+    run for every published alias at once)."""
+    import copy
+    import datetime
+
+    rows = []
+    for ck in checkpoints:
+        c = copy.deepcopy(cfg)
+        c["checkpoint"] = ck
+        c["workdir"] = os.path.join(cfg["workdir"], "parity",
+                                    ck.replace("/", "_").replace(":", "_"))
+        os.makedirs(c["workdir"], exist_ok=True)
+        results = test(c)
+        rows.append((ck, results))
+
+    stamp = datetime.date.today().isoformat()
+    lines = [
+        "",
+        f"## Measured reference-checkpoint parity ({stamp})",
+        "",
+        "Produced by `cli parity checkpoints="
+        + ",".join(checkpoints) + "`.",
+        "",
+        "| Checkpoint | MAE | MSE | val_loss |",
+        "|---|---|---|---|",
+    ]
+    for ck, r in rows:
+        lines.append(
+            f"| {ck} | {r.get('MeanAbsoluteError', float('nan')):.6g} "
+            f"| {r.get('MeanSquaredError', float('nan')):.6g} "
+            f"| {r.get('val_loss', float('nan')):.6g} |")
+    with open(out, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"parity: wrote {len(rows)} rows to {out}")
+    return [r for _, r in rows]
+
+
 def main_train(argv: Optional[List[str]] = None) -> int:
     """Console-script entry (`train_gotennet`, mirrors the reference's
     pyproject.toml:76)."""
@@ -438,8 +483,29 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             run_sweep(train, load, trial_ovs,
                       sweep_dir=meta["sweep_dir"], metric=meta["metric"])
+    elif mode == "parity":
+        # real-data parity packet: evaluate published reference
+        # checkpoints (aliases, URLs, or .ckpt paths — the converter
+        # handles the Lightning format) and append the MAE table to a
+        # markdown file.  The moment gdb9.sdf + a published checkpoint
+        # are reachable this one command fills BASELINE.md:
+        #   cli parity checkpoints=QM9_small_homo,QM9_small_U0 \
+        #       datamodule.root=data/qm9
+        cks, out, rest = None, "BASELINE.md", []
+        for ov in overrides:
+            key, _, val = ov.partition("=")
+            if key == "checkpoints":
+                cks = val.split(",")
+            elif key == "out":
+                out = val
+            else:
+                rest.append(ov)
+        if not cks:
+            raise SystemExit("parity needs checkpoints=alias1,alias2,...")
+        parity(load_config(CONFIG_DIR, root, rest), cks, out)
     else:
-        raise SystemExit(f"unknown mode {mode!r}; use train|test|sweep")
+        raise SystemExit(
+            f"unknown mode {mode!r}; use train|test|sweep|parity")
     return 0
 
 

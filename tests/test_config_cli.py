@@ -213,3 +213,60 @@ def test_normalize_positions_centers_on_com(tmp_path):
         np.testing.assert_allclose(p_on, p_off - com_off, atol=1e-5)
         com_on = (w * p_on).sum(0) / w.sum()
         np.testing.assert_allclose(com_on, 0.0, atol=1e-4)
+
+
+def test_cli_parity_packet(tmp_path):
+    """`cli parity checkpoints=a.ckpt,b.ckpt` evaluates fabricated
+    reference-format Lightning checkpoints through the converter and
+    appends the MAE markdown table to the out file — the one-command
+    BASELINE.md packet for when published checkpoints land."""
+    import jax
+    import torch
+
+    from gotennet_tpu.cli import parity
+    from gotennet_tpu.models.gotennet import GotenNetConfig
+    from gotennet_tpu.models.model import GotenModel, HeadConfig
+    from gotennet_tpu.utils.torch_convert import model_params_to_state_dict
+    from gotennet_tpu.data.dataset import BatchLoader, synthetic_molecules
+
+    cfg_small = GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2,
+                               n_rbf=8, num_heads=4)
+    cks = []
+    for i, label_idx in enumerate((7, 2)):        # U0, homo
+        head = HeadConfig(kind="atomwise", mean=0.0, stddev=1.0,
+                          activation="silu")
+        model = GotenModel(cfg_small, head)
+        batch = next(iter(BatchLoader(synthetic_molecules(4, seed=i),
+                                      batch_size=4, cutoff=cfg_small.cutoff)))
+        params = model.init(jax.random.PRNGKey(i), batch)
+        sd = model_params_to_state_dict(params, cfg_small, head)
+        ckpt = {
+            "hyper_parameters": {
+                "task": "QM9", "label": label_idx, "cutoff": 5.0,
+                "representation": {
+                    "__target__": "gotennet.models.representation."
+                                  "gotennet.GotenNetWrapper",
+                    "n_atom_basis": 32, "n_interactions": 2, "lmax": 2,
+                    "n_rbf": 8, "num_heads": 4,
+                },
+            },
+            "state_dict": {k: torch.as_tensor(np.asarray(v).copy())
+                           for k, v in sd.items()},
+        }
+        path = os.path.join(str(tmp_path), f"ref_{label_idx}.ckpt")
+        torch.save(ckpt, path)
+        cks.append(path)
+
+    out = os.path.join(str(tmp_path), "BASELINE_test.md")
+    cfg = load_config(CONFIG_DIR, "train.yaml",
+                      ["experiment=smoke", f"workdir={tmp_path}/run"])
+    results = parity(cfg, cks, out=out)
+    assert len(results) == 2
+    assert all(np.isfinite(r["MeanAbsoluteError"]) for r in results)
+    text = open(out).read()
+    assert "| Checkpoint | MAE |" in text
+    assert cks[0] in text and cks[1] in text
+    # per-checkpoint workdirs hold the raw JSON
+    assert os.path.exists(os.path.join(
+        str(tmp_path), "run", "parity",
+        cks[0].replace("/", "_").replace(":", "_"), "test_results.json"))
