@@ -80,26 +80,62 @@ def _pick_i_tile(M: int, max_pairs: int = 4096) -> int:
     return ti
 
 
+def _pick_graph_block(G: int, M: int, NI: int, D: int,
+                      max_pairs: int = 1536) -> int:
+    """Graphs processed per grid step (GB): the largest divisor of G
+    whose stacked pair slab GB*M*M stays under ``max_pairs``, and only
+    when the whole graph already fits one i-slab (NI == 1).  Amortises
+    per-op overhead for small-M buckets: at QM9's M=24 bucket GB=2
+    measured ~30% faster per pair than GB=1 (M=32 stays GB=1 — its
+    1024-row slab is already efficient and GB=2 measured no better).
+    Requires tile-aligned shapes (M multiple of 8 sublanes, D multiple
+    of 128 lanes) — Mosaic cannot lower the blocked writes with
+    implicit padding dims; sub-tile shapes keep GB=1."""
+    if NI != 1 or M % 8 or D % 128:
+        return 1
+    best = 1
+    for gb in range(2, G + 1):
+        if G % gb == 0 and gb * M * M <= max_pairs:
+            best = gb
+    return best
+
+
 def _kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
             scale_ref, wre_ref, bre_ref, wrs_ref, brs_ref,
             dh_ref, dx_ref, attn_ref, *, TI, M, D, H, lmax, mult, sep_dir,
-            sep_tensor, pair_dtype):
-    """One grid step = one TI-row i-slab of one graph; the full j axis
-    (M columns) is resident, so the softmax is exact (no online
-    rescaling).  TB = TI*M pairs per step."""
+            sep_tensor, pair_dtype, GB=1):
+    """One grid step = GB graphs' TI-row i-slabs (GB > 1 only when the
+    whole graph fits one slab, TI == M); the full j axis (M columns) is
+    resident, so the softmax is exact (no online rescaling).
+    TB = GB*TI*M pairs per step.  Graph-blocking amortises per-op
+    overhead for small-M buckets (QM9's M=24: measured -30%/pair at
+    GB=2) — each graph's rows only ever interact with its own j axis,
+    so the math is unchanged."""
     f32 = jnp.float32
     pd = pair_dtype                         # matmul input dtype (bf16 =
-    t2 = t_ref[0].astype(pd)                # 4x MXU rate; accum stays f32)
-    TB = TI * M
+    TB = GB * TI * M                        # 4x MXU rate; accum stays f32
+    t2 = t_ref[...].reshape(TB, D).astype(pd)
+
+    def rep_i(a):
+        """[GB*TI, F] keyed by (graph, i) -> [TB, F] over pairs."""
+        F = a.shape[-1]
+        return jnp.broadcast_to(jnp.expand_dims(a, 1),
+                                (GB * TI, M, F)).reshape(TB, F)
+
+    def tile_j(a):
+        """[GB, M, F] keyed by (graph, j) -> [TB, F] over pairs."""
+        F = a.shape[-1]
+        return jnp.broadcast_to(jnp.expand_dims(a, 1),
+                                (GB, TI, M, F)).reshape(TB, F)
 
     # --- attention filter + SDDMM logits ----------------------------
     ta = jnp.dot(t2, wre_ref[...].astype(pd), preferred_element_type=f32)
     ta = ta + bre_ref[...]
     ta = ta * jax.lax.logistic(ta)          # silu / swish
-    q = q_ref[0].astype(pd)                 # [TI, D]
-    k = k_ref[0].astype(pd)                 # [M, D]
-    qrep = jnp.repeat(q, M, axis=0)         # [(i j), d] — q varies per i
-    krep = jnp.tile(k, (TI, 1))             # k varies per j
+    q = q_ref[...].reshape(GB * TI, D).astype(pd)
+    k = k_ref[...].astype(pd)               # [GB, M, D]
+    qrep = rep_i(q)                         # q varies per (graph, i)
+    krep = tile_j(k)                        # k varies per (graph, j)
     p = ta.astype(pd) * qrep * krep
     # per-head lane-block reduction via indicator matmul [D, H]
     dh_per = D // H
@@ -110,22 +146,29 @@ def _kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
 
     # env carries cutoff*pair_mask (>= 0) for valid pairs, -1 invalid:
     # the sign encodes the pair mask so one input serves both purposes
-    env = env_ref[0]                        # [TB, 1]
+    env = env_ref[...].reshape(TB, 1)
     valid = env >= 0.0
     envp = jnp.maximum(env, 0.0)
 
     neg = jnp.float32(-1e30)
     logits = jnp.where(valid, logits, neg)
-    l3 = logits.reshape(TI, M, H)
-    mx = jnp.max(l3, axis=1, keepdims=True)             # [TI, 1, H]
-    ex = jnp.exp(l3 - mx) * valid.reshape(TI, M, 1)
-    denom = jnp.sum(ex, axis=1, keepdims=True) + 1e-16  # [TI, 1, H]
+    l3 = logits.reshape(GB * TI, M, H)
+    mx = jnp.max(l3, axis=1, keepdims=True)
+    ex = jnp.exp(l3 - mx) * valid.reshape(GB * TI, M, 1)
+    denom = jnp.sum(ex, axis=1, keepdims=True) + 1e-16
     sm = (ex / denom).reshape(TB, H)
-    attn_ref[0] = sm                        # pre-scale softmax residual
-    attn = sm * scale_ref[0]                # [TB, H] * [TB, 1]
+    # GB==1 keeps the rank-2 ref[0] write forms: Mosaic cannot lower
+    # full-rank writes with implicit (sub-tile) padding dims at small
+    # D/H, and GB>1 is only picked for tile-aligned shapes
+    if GB == 1:
+        attn_ref[0] = sm                    # pre-scale residual
+    else:
+        attn_ref[...] = sm.reshape(attn_ref.shape)
+    SH = scale_ref.shape[-1]
+    attn = sm * scale_ref[...].reshape(TB, SH)
 
-    xg = xg_ref[0].astype(pd)               # [M, mult*D]
-    v = v_ref[0].astype(pd)
+    xg = xg_ref[...].astype(pd)             # [GB, M, mult*D]
+    v = v_ref[...].astype(pd)
     e_per = (mult * D) // H                 # channels per head
     envp = envp.astype(pd)
     attn_p = attn.astype(pd)
@@ -141,41 +184,61 @@ def _kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
         # (Mosaic requires a 32-bit matmul accumulator)
         attn_c = jnp.dot(attn_p, hsel,
                          preferred_element_type=f32).astype(pd)  # [TB, D]
-        xg_j = jnp.tile(xg[:, co:co + D], (TI, 1))
-        v_j = jnp.tile(v[:, co:co + D], (TI, 1))
+        xg_j = tile_j(xg[:, :, co:co + D])
+        v_j = tile_j(v[:, :, co:co + D])
         return tf.astype(pd) * xg_j * envp + attn_c * v_j
 
     # --- scalar group -> d_h (j-sums accumulate f32, as in the XLA
     # path which casts pair products to f32 before reducing; dtype=f32
     # keeps the accumulator f32 without materialising a converted
-    # [TI, M, D] array — measured ~5% of the forward) ----------------
+    # copy — measured ~5% of the forward) ----------------------------
     o_s = group(0)
-    dh_ref[0] = jnp.sum(o_s.reshape(TI, M, D), axis=1, dtype=f32)
+    dh = jnp.sum(o_s.reshape(GB * TI, M, D), axis=1, dtype=f32)
+    if GB == 1:
+        dh_ref[0] = dh
+    else:
+        dh_ref[...] = dh.reshape(dh_ref.shape)
 
     # --- steerable groups -> dX -------------------------------------
     # Direction terms: dX[i, m, :] = sum_j rl[i, j, m] * o_d[i, j, :]
     # is a j-contraction — run it as ONE i-batched MXU matmul per
     # degree block ([nm, M] @ [M, D] per i) instead of an m-loop of
     # [TI, M, D] broadcast-multiply-reduce VPU passes (the kernel is
-    # VPU-bound; measured −15% forward at flagship shapes).
-    rl = rl_ref[0].astype(pd)               # [TB, L]
+    # VPU-bound; measured −15% forward at flagship shapes).  dX is
+    # accumulated in registers and written once (per-m 4D ref writes
+    # don't lower under graph blocking).
+    L_SH = rl_ref.shape[-1]
+    rl = rl_ref[...].reshape(TB, L_SH).astype(pd)
+    x3 = (x_ref[...].astype(pd).reshape(GB * M, L_SH, D)
+          if GB > 1 else None)
+    cols = [None] * L_SH
     off = D
     for l, (lo, hi) in enumerate(degree_slices(lmax)):
-        o_d = group(off + (l * D if sep_dir else 0)).reshape(TI, M, D)
+        o_d = group(off + (l * D if sep_dir else 0)).reshape(
+            GB * TI, M, D)
         nm = hi - lo
-        rl3 = rl[:, lo:hi].reshape(TI, M, nm)
-        dx_ref[0, :, lo:hi, :] = jax.lax.dot_general(
+        rl3 = rl[:, lo:hi].reshape(GB * TI, M, nm)
+        out = jax.lax.dot_general(
             rl3, o_d, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32)     # [TI, nm, D]
+            preferred_element_type=f32)     # [GB*TI, nm, D]
+        for m in range(lo, hi):
+            cols[m] = out[:, m - lo, :]
     off += (lmax if sep_dir else 1) * D
     # Tensor terms carry the channel axis on BOTH factors (elementwise
     # in d), so they stay VPU multiply-reduces.
     for l, (lo, hi) in enumerate(degree_slices(lmax)):
-        o_t = group(off + (l * D if sep_tensor else 0)).reshape(TI, M, D)
+        o_t = group(off + (l * D if sep_tensor else 0)).reshape(
+            GB, TI, M, D)
         for m in range(lo, hi):
-            x_m = x_ref[0, :, m, :].astype(pd)  # [M(j), D]
-            acc = jnp.sum(o_t * x_m[None, :, :], axis=1, dtype=f32)
-            dx_ref[0, :, m, :] = dx_ref[0, :, m, :] + acc
+            x_m = (x3[:, m, :].reshape(GB, 1, M, D) if GB > 1
+                   else x_ref[0, :, m, :].astype(pd).reshape(1, 1, M, D))
+            acc = jnp.sum(o_t * x_m, axis=2, dtype=f32)  # per-graph j
+            cols[m] = cols[m] + acc.reshape(GB * TI, D)
+    if GB == 1:
+        for m in range(L_SH):
+            dx_ref[0, :, m, :] = cols[m]
+    else:
+        dx_ref[...] = jnp.stack(cols, axis=1).reshape(dx_ref.shape)
 
 
 def _pallas_forward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
@@ -212,21 +275,23 @@ def _pallas_forward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
     mult = W_rs.shape[1] // D
     TI = _pick_i_tile(M)
     NI = M // TI
+    GB = _pick_graph_block(G, M, NI, D)
     SH = H if scale.ndim == 4 else 1        # per-head scale (dropout)
 
     kern = functools.partial(
         _kernel, TI=TI, M=M, D=D, H=H, lmax=lmax, mult=mult,
-        sep_dir=sep_dir, sep_tensor=sep_tensor, pair_dtype=pair_dtype)
+        sep_dir=sep_dir, sep_tensor=sep_tensor, pair_dtype=pair_dtype,
+        GB=GB)
 
     def ispec(shape):
         """Pair/i-indexed block: varies with the i-tile."""
-        return pl.BlockSpec((1,) + shape,
+        return pl.BlockSpec((GB,) + shape,
                             lambda g, i: (g, i) + (0,) * (len(shape) - 1),
                             memory_space=pltpu.VMEM)
 
     def gspec(shape):
         """Graph-indexed block: full along every non-batch axis."""
-        return pl.BlockSpec((1,) + shape,
+        return pl.BlockSpec((GB,) + shape,
                             lambda g, i: (g,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
@@ -241,7 +306,7 @@ def _pallas_forward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
     )
     d_h, dX, attn = pl.pallas_call(
         kern,
-        grid=(G, NI),
+        grid=(G // GB, NI),
         in_specs=[
             ispec((TI * M, D)), ispec((TI, D)), gspec((M, D)),
             gspec((M, mult * D)), gspec((M, mult * D)),
@@ -283,14 +348,19 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
                 gt_ref, gq_ref, gk_ref, gxg_ref, gv_ref, grl_ref, gx_ref,
                 genv_ref, gscale_ref, gwre_ref, gbre_ref, gwrs_ref,
                 gbrs_ref, *, TI, M, D, H, lmax, mult, sep_dir, sep_tensor,
-                pair_dtype, scale_heads=False, pos_grads=True):
-    """Analytic VJP of _kernel, one grid step per (graph, i-tile).
+                pair_dtype, scale_heads=False, pos_grads=True, GB=1):
+    """Analytic VJP of _kernel, one grid step per (graph-block, i-tile)
+    with GB graphs per block (GB > 1 only when TI == M, mirroring the
+    forward's graph blocking).
 
     Weight-gradient outputs map every grid step to block 0 and are
     zero-initialised at the first step; j-indexed gradients (g_k, g_xg,
-    g_v, g_X) map to per-graph blocks and are zero-initialised at each
-    graph's first i-tile — grid steps run sequentially on TPU, so both
-    accumulate in place (the standard Pallas reduction pattern).
+    g_v, g_X) map to per-graph-block blocks and are zero-initialised at
+    each block's first i-tile — grid steps run sequentially on TPU, so
+    both accumulate in place (the standard Pallas reduction pattern).
+    Per-channel-block partial gradients accumulate in registers and are
+    written once per grid step (sliced multi-dim ref read-modify-writes
+    don't lower under graph blocking).
     Pair-sized elementwise math runs in pair_dtype — matching the
     forward and what jax.grad of the XLA path (whose forward ops are
     pair_dtype) would produce — with every reduction/accumulation in
@@ -307,25 +377,32 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
     pd = pair_dtype
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
     first_tile = pl.program_id(1) == 0
-    TB = TI * M
+    TB = GB * TI * M
+    L = rl_ref.shape[-1]
 
-    t2 = t_ref[0]                           # [TB, D]
+    t2 = t_ref[...].reshape(TB, D)
     t2p = t2.astype(pd)
-    env = env_ref[0]                        # [TB, 1]
+    env = env_ref[...].reshape(TB, 1)
     valid = env >= 0.0
     envp = jnp.maximum(env, 0.0)
     envp_p = envp.astype(pd)
-    scale = scale_ref[0]                    # [TB, 1]
-    sm = sm_ref[0]                          # [TB, H] pre-scale softmax
+    SH = scale_ref.shape[-1]
+    scale = scale_ref[...].reshape(TB, SH)
+    sm = sm_ref[...].reshape(TB, H)         # pre-scale softmax
     attn = sm * scale
     attn_p = attn.astype(pd)
-    xg = xg_ref[0].astype(pd)               # [M, mult*D]
-    v = v_ref[0].astype(pd)
-    rl = rl_ref[0]                          # [TB, L]
-    rl_p = rl.astype(pd)
-    gdh = gdh_ref[0]                        # [TI, D]
-    gdx = gdx_ref[0]                        # [TI, L, D]
-    gdx_p = gdx.astype(pd)
+    xg = xg_ref[...].astype(pd)             # [GB, M, mult*D]
+    v = v_ref[...].astype(pd)
+    rl_p = rl_ref[...].reshape(TB, L).astype(pd)
+    # GB==1 keeps the rank-2/3 ref[0] access forms throughout this
+    # kernel: Mosaic cannot lower full-rank-4 accesses / writes with
+    # implicit (sub-tile) padding dims, and GB>1 is only picked for
+    # tile-aligned shapes
+    x3 = (x_ref[...].astype(pd).reshape(GB * M, L, D)
+          if GB > 1 else None)
+    gdh = gdh_ref[...].reshape(GB * TI, D)
+    gdx_p = (gdx_ref[...].astype(pd).reshape(GB * TI, L, D)
+             if GB > 1 else gdx_ref[0].astype(pd))
     e_per = (mult * D) // H
 
     @pl.when(first)
@@ -343,34 +420,53 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
         gx_ref[...] = jnp.zeros(gx_ref.shape, f32)
 
     def rep_i(a):
-        """[TI, D] keyed by i -> [TB, D] over pairs (i major)."""
+        """[GB*TI, F] keyed by (graph, i) -> [TB, F] over pairs
+        ((g, i, j) row order = per-row repetition, any GB)."""
         return jnp.repeat(a, M, axis=0)
 
     def tile_j(a):
-        """[M, D] keyed by j -> [TB, D] over pairs (j minor)."""
-        return jnp.tile(a, (TI, 1))
+        """[GB, M, F] keyed by (graph, j) -> [TB, F] over pairs.
+        Materialised per graph: broadcast-built values carry
+        implicit-dim layouts that downstream axis-0 reduces reject."""
+        F = a.shape[-1]
+        if GB == 1:
+            return jnp.tile(a.reshape(M, F), (TI, 1))
+        return jnp.concatenate(
+            [jnp.tile(a[g], (TI, 1)) for g in range(GB)], axis=0)
 
     def isum(a):
-        """f32 sum_i of [TB, D] -> [M(j), D] (partial over this tile).
-        dtype=f32 accumulates without materialising a converted copy."""
-        return jnp.sum(a.reshape(TI, M, -1), axis=0, dtype=f32)
+        """f32 sum_i of [TB, F] -> [GB, M(j), F] (partial over this
+        tile) as per-graph rank-3 axis-0 reduces (rank-4 axis-1
+        multi_reductions don't lower; dtype=f32 accumulates without a
+        converted copy)."""
+        a3 = a.reshape(GB * TI, M, -1)
+        if GB == 1:
+            return jnp.expand_dims(jnp.sum(a3, axis=0, dtype=f32), 0)
+        return jnp.stack(
+            [jnp.sum(a3[g * TI:(g + 1) * TI], axis=0, dtype=f32)
+             for g in range(GB)], axis=0)
 
     def jsum(a):
-        """f32 sum_j of [TB, D] -> [TI(i), D]."""
-        return jnp.sum(a.reshape(TI, M, -1), axis=1, dtype=f32)
+        """f32 sum_j of [TB, F] -> [GB*TI(i), F]."""
+        return jnp.sum(a.reshape(GB * TI, M, -1), axis=1, dtype=f32)
 
     g_attn = jnp.zeros((TB, H), f32)
     g_env = jnp.zeros((TB, 1), f32)
     gt_acc = jnp.zeros((TB, D), f32)
+    # register accumulators, written to the refs once at the end
+    gxg_cols = {}                           # co -> [GB, M, D]
+    gv_cols = {}
+    gx_cols = [None] * L                    # m -> [GB, M, D]
+    grl_cols = [None] * L                   # m -> [TB] (as [TB, nm])
 
     def block_bwd(co, g_o, degs_rl, degs_X, g_attn, g_env, gt_acc):
         """Backprop one distinct channel block [co, co+D).
 
         g_o: [TB, D] cotangent of o for this block (pair dtype).
         degs_rl: m-indices whose dir-aggregation used this block
-            (g_rl written here, needs o recompute).
+            (g_rl computed here, needs o recompute).
         degs_X: m-indices whose tensor-aggregation used this block
-            (g_X written here, needs o recompute).
+            (g_X computed here, needs o recompute).
         """
         wrs_c = wrs_ref[:, co:co + D].astype(pd)
         tf = (jnp.dot(t2p, wrs_c, preferred_element_type=f32)
@@ -380,8 +476,8 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
             jnp.int32, (H, D), 0)).astype(pd)
         attn_c = jnp.dot(attn_p, hsel,
                          preferred_element_type=f32).astype(pd)
-        xg_j = tile_j(xg[:, co:co + D])
-        v_j = tile_j(v[:, co:co + D])
+        xg_j = tile_j(xg[:, :, co:co + D])
+        v_j = tile_j(v[:, :, co:co + D])
 
         if (degs_rl and pos_grads) or degs_X:
             o_c = tf * xg_j * envp_p + attn_c * v_j
@@ -391,19 +487,19 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
                 # block instead of an m-loop of [TB, D] mult+reduce
                 lo, hi = degs_rl[0], degs_rl[-1] + 1
                 out = jax.lax.dot_general(
-                    o_c.reshape(TI, M, D), gdx_p[:, lo:hi, :],
+                    o_c.reshape(GB * TI, M, D), gdx_p[:, lo:hi, :],
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=f32)       # [TI, M, nm]
-                grl_ref[0, :, lo:hi] = out.reshape(TB, hi - lo)
+                    preferred_element_type=f32)   # [GB*TI, M, nm]
+                out = out.reshape(TB, hi - lo)
+                for m in range(lo, hi):
+                    grl_cols[m] = out[:, m - lo: m - lo + 1]
             for m in degs_X:
                 gdx_m = rep_i(gdx_p[:, m, :])
-                gx_ref[0, :, m, :] = gx_ref[0, :, m, :] + isum(o_c * gdx_m)
+                gx_cols[m] = isum(o_c * gdx_m)
 
         g_tf = g_o * xg_j * envp_p                # [TB, D] pair dtype
-        gxg_ref[0, :, co:co + D] = (gxg_ref[0, :, co:co + D]
-                                    + isum(g_o * tf * envp_p))
-        gv_ref[0, :, co:co + D] = (gv_ref[0, :, co:co + D]
-                                   + isum(attn_c * g_o))
+        gxg_cols[co] = isum(g_o * tf * envp_p)
+        gv_cols[co] = isum(attn_c * g_o)
         if pos_grads:
             g_env = g_env + jnp.sum(g_o * tf * xg_j,
                                     axis=1, keepdims=True, dtype=f32)
@@ -438,7 +534,7 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
     off = D
 
     def dir_g_o(lo, hi):
-        rl3 = rl_p[:, lo:hi].reshape(TI, M, hi - lo)
+        rl3 = rl_p[:, lo:hi].reshape(GB * TI, M, hi - lo)
         return jax.lax.dot_general(
             rl3, gdx_p[:, lo:hi, :],
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -457,30 +553,55 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
     off += (lmax if sep_dir else 1) * D
 
     # ---- tensor blocks -----------------------------------------------
+    def x_m_rows(m):
+        if GB == 1:
+            return x_ref[0, :, m, :].astype(pd).reshape(1, M, D)
+        return x3[:, m, :].reshape(GB, M, D)
+
     if sep_tensor:
         for l, (lo, hi) in enumerate(slices):
-            g_o = sum(tile_j(x_ref[0, :, m, :].astype(pd))
-                      * rep_i(gdx_p[:, m, :])
+            g_o = sum(tile_j(x_m_rows(m)) * rep_i(gdx_p[:, m, :])
                       for m in range(lo, hi))
             g_attn, g_env, gt_acc = block_bwd(
                 off + l * D, g_o, (), tuple(range(lo, hi)),
                 g_attn, g_env, gt_acc)
     else:
-        g_o = sum(tile_j(x_ref[0, :, m, :].astype(pd))
-                  * rep_i(gdx_p[:, m, :])
+        g_o = sum(tile_j(x_m_rows(m)) * rep_i(gdx_p[:, m, :])
                   for lo, hi in slices for m in range(lo, hi))
         g_attn, g_env, gt_acc = block_bwd(
             off, g_o, (), tuple(range(slices[0][0], slices[-1][1])),
             g_attn, g_env, gt_acc)
 
-    # ---- attention backward -----------------------------------------
-    if scale_heads:                         # per-head scale (dropout)
-        gscale_ref[0] = sm * g_attn
+    # ---- flush register accumulators to the refs ---------------------
+    gxg_full = jnp.concatenate([gxg_cols[co] for co in sorted(gxg_cols)],
+                               axis=-1)     # [GB, M, mult*D]
+    gv_full = jnp.concatenate([gv_cols[co] for co in sorted(gv_cols)],
+                              axis=-1)
+    if GB == 1:
+        gxg_ref[0] = gxg_ref[0] + gxg_full[0]
+        gv_ref[0] = gv_ref[0] + gv_full[0]
+        for m in range(L):
+            gx_ref[0, :, m, :] = gx_ref[0, :, m, :] + gx_cols[m][0]
+        if pos_grads:
+            grl_ref[0] = jnp.concatenate(grl_cols, axis=-1)
     else:
-        gscale_ref[0] = jnp.sum(sm * g_attn, axis=1, keepdims=True)
-    g_sm3 = (g_attn * scale).reshape(TI, M, H)
-    sm3 = sm.reshape(TI, M, H)
-    s = jnp.sum(sm3 * g_sm3, axis=1, keepdims=True)   # [TI, 1, H]
+        gxg_ref[...] = gxg_ref[...] + gxg_full
+        gv_ref[...] = gv_ref[...] + gv_full
+        gx_ref[...] = gx_ref[...] + jnp.stack(gx_cols, axis=2)
+        if pos_grads:
+            grl_ref[...] = jnp.concatenate(grl_cols, axis=-1).reshape(
+                grl_ref.shape)
+
+    # ---- attention backward -----------------------------------------
+    gscale = (sm * g_attn if scale_heads
+              else jnp.sum(sm * g_attn, axis=1, keepdims=True))
+    if GB == 1:
+        gscale_ref[0] = gscale
+    else:
+        gscale_ref[...] = gscale.reshape(gscale_ref.shape)
+    g_sm3 = (g_attn * scale).reshape(GB * TI, M, H)
+    sm3 = sm.reshape(GB * TI, M, H)
+    s = jnp.sum(sm3 * g_sm3, axis=1, keepdims=True)
     g_logits = (sm3 * (g_sm3 - s)).reshape(TB, H)
 
     # expand heads back to channels: g_p[ij, d] = g_logits[ij, head(d)]
@@ -496,13 +617,19 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
                   preferred_element_type=f32) + bre_ref[...]
     sig = jax.lax.logistic(zre)
     ta = zre * sig
-    qrep = rep_i(q_ref[0].astype(pd))
-    krep = tile_j(k_ref[0].astype(pd))
+    qrep = rep_i(q_ref[...].reshape(GB * TI, D).astype(pd))
+    krep = tile_j(k_ref[...].astype(pd))
     g_p_p = g_p.astype(pd)
     ta_p = ta.astype(pd)
     g_ta = (g_p_p * qrep * krep).astype(f32)
-    gq_ref[0] = jsum(g_p_p * ta_p * krep)
-    gk_ref[0] = gk_ref[0] + isum(g_p_p * ta_p * qrep)
+    gq = jsum(g_p_p * ta_p * krep)
+    gk_add = isum(g_p_p * ta_p * qrep)
+    if GB == 1:
+        gq_ref[0] = gq
+        gk_ref[0] = gk_ref[0] + gk_add[0]
+    else:
+        gq_ref[...] = gq.reshape(gq_ref.shape)
+        gk_ref[...] = gk_ref[...] + gk_add
     g_zre = g_ta * (sig + zre * sig * (1.0 - sig))
 
     gt_acc = gt_acc + jax.lax.dot_general(
@@ -515,9 +642,15 @@ def _bwd_kernel(t_ref, q_ref, k_ref, xg_ref, v_ref, rl_ref, x_ref, env_ref,
         preferred_element_type=f32)
     gbre_ref[...] = gbre_ref[...] + jnp.sum(g_zre, axis=0, keepdims=True)
 
-    gt_ref[0] = gt_acc
-    if pos_grads:
-        genv_ref[0] = jnp.where(valid, g_env, 0.0)
+    if GB == 1:
+        gt_ref[0] = gt_acc
+        if pos_grads:
+            genv_ref[0] = jnp.where(valid, g_env, 0.0)
+    else:
+        gt_ref[...] = gt_acc.reshape(gt_ref.shape)
+        if pos_grads:
+            genv_ref[...] = jnp.where(valid, g_env, 0.0).reshape(
+                genv_ref.shape)
 
 
 def _pallas_backward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
@@ -534,23 +667,28 @@ def _pallas_backward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
     H = num_heads
     mult = W_rs.shape[1] // D
     # the VJP's working set per slab is ~2x the forward's (block
-    # recomputes + gradient accumulators), so halve its pair budget
+    # recomputes + gradient accumulators), so halve its pair budget.
+    # Graph blocking stays OFF here: measured at M=24 it wins ~8% in
+    # the forward but LOSES ~3.5% in this kernel (the per-graph
+    # stack/concat flushes outweigh the dispatch amortisation), so the
+    # backward keeps one graph per grid step.
     TI = _pick_i_tile(M, max_pairs=2048)
     NI = M // TI
+    GB = 1
     SH = H if scale.ndim == 4 else 1
 
     kern = functools.partial(
         _bwd_kernel, TI=TI, M=M, D=D, H=H, lmax=lmax, mult=mult,
         sep_dir=sep_dir, sep_tensor=sep_tensor, pair_dtype=pair_dtype,
-        scale_heads=(SH == H), pos_grads=pos_grads)
+        scale_heads=(SH == H), pos_grads=pos_grads, GB=GB)
 
     def ispec(shape):
-        return pl.BlockSpec((1,) + shape,
+        return pl.BlockSpec((GB,) + shape,
                             lambda g, i: (g, i) + (0,) * (len(shape) - 1),
                             memory_space=pltpu.VMEM)
 
     def gspec(shape):
-        return pl.BlockSpec((1,) + shape,
+        return pl.BlockSpec((GB,) + shape,
                             lambda g, i: (g,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
@@ -576,7 +714,7 @@ def _pallas_backward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
     )
     outs = pl.pallas_call(
         kern,
-        grid=(G, NI),
+        grid=(G // GB, NI),
         in_specs=[
             ispec((TI * M, D)), ispec((TI, D)), gspec((M, D)),
             gspec((M, mult * D)), gspec((M, mult * D)),
