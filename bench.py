@@ -416,7 +416,14 @@ def main():
         # ~17 ms/step in stacked-gradient accumulation fusions at the
         # QM9 headline (measured r04) — a compile-vs-step tradeoff
         scan_layers=os.environ.get("BENCH_SCAN", "0") == "1",
-        pair_dtype=jnp.bfloat16 if pair_dtype == "bf16" else jnp.float32)
+        pair_dtype=jnp.bfloat16 if pair_dtype == "bf16" else jnp.float32,
+        # node-projection compute dtype (BENCH_NODE_DTYPE, default
+        # bf16): the steerable [N, L, D] projections + EQFF are the
+        # bulk of the non-kernel matmul time and f32 runs them at ~1/4
+        # MXU rate; params/residual streams stay f32 (PERF.md r05)
+        node_dtype=(jnp.bfloat16
+                    if os.environ.get("BENCH_NODE_DTYPE", "bf16") == "bf16"
+                    else jnp.float32))
     task = QM9Task("U0", dataset_meta={"mean": 0.0, "std": 1.0})
     model = GotenModel(cfg, task.build_head(), layout=layout)
 
@@ -455,13 +462,17 @@ def main():
     bucket = (layout == "dense"
               and os.environ.get(
                   "BENCH_BUCKET", "1" if dataset == "qm9" else "0") == "1")
+    pack = layout == "dense" and os.environ.get("BENCH_PACK", "0") == "1"
     if layout == "dense":
         # BENCH_MAX_ATOMS overrides the dense M padding (the fused
         # kernel i-tiles M into multiple-of-8 divisors; M=120 -> TI=24)
+        # BENCH_PACK=1: block-diagonal packing — several molecules per
+        # M=32 slab, cross-molecule pairs masked (collate_dense_packed)
         ma = os.environ.get("BENCH_MAX_ATOMS")
         chunks = list(DenseLoader(ds, batch_size=chunk,
                                   max_atoms=int(ma) if ma else None,
-                                  bucket=bucket,
+                                  bucket=bucket and not pack,
+                                  pack=pack,
                                   bucket_window=n_chunks))[:n_chunks]
         padded_pairs = int(sum(c.num_graphs * c.max_atoms ** 2
                                for c in chunks))
@@ -630,7 +641,8 @@ def main():
         "dataset": dataset,
         "accum_chunks": n_chunks,
         "padded_edges": padded_pairs,
-        "bucketed": bucket,
+        "bucketed": bucket and not pack,
+        "packed": pack,
         "step_ms": round(dt * 1e3, 3),
         "rtt_ms": round(rtt * 1e3, 1),
         "compile_s": round(compile_s, 1),

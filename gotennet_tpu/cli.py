@@ -236,10 +236,11 @@ def _build_model_and_trainer(cfg: Dict, meta: Dict):
     _check_keys(mc, _MODEL_KEYS, "model")
     _check_keys(cfg["datamodule"], _DATAMODULE_KEYS, "datamodule")
     rep = {k: v for k, v in mc["representation"].items()}
-    if rep.get("pair_dtype") in ("bf16", "bfloat16"):
-        rep["pair_dtype"] = jnp.bfloat16
-    else:
-        rep.pop("pair_dtype", None)
+    for key in ("pair_dtype", "node_dtype"):
+        if rep.get(key) in ("bf16", "bfloat16"):
+            rep[key] = jnp.bfloat16
+        else:
+            rep.pop(key, None)
     # the dense layout enforces the neighbor cap inside the forward
     # pass; keep it in sync with the datamodule's loader-side cap
     rep.setdefault("max_num_neighbors",

@@ -438,7 +438,9 @@ class DenseLoader:
                  max_atoms: Optional[int] = None,
                  drop_last: bool = False,
                  bucket: bool = False,
-                 bucket_window: int = 16):
+                 bucket_window: int = 16,
+                 pack: bool = False,
+                 mols_per_slab: Optional[int] = None):
         self.ds = ds
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -451,6 +453,22 @@ class DenseLoader:
         self.bucket = bucket
         self.bucket_window = bucket_window
         self.with_forces = ds.dy is not None
+        # block-diagonal packing (collate_dense_packed): several
+        # molecules share each M-slot slab, cross-molecule pairs are
+        # masked by the model.  Slab capacity is estimated from the
+        # dataset's mean size with 6% slack for first-fit-decreasing
+        # inefficiency; a batch that packs worse rebuckets (grows the
+        # capacity, one extra compile) like BatchLoader does for edges.
+        self.pack = pack
+        if pack:
+            sizes = np.asarray([len(z) for z in ds.z])
+            if mols_per_slab is None:
+                mols_per_slab = int(min(
+                    8, max(1, self.max_atoms // max(1, sizes.min()))))
+            self.mols_per_slab = mols_per_slab
+            mean = float(sizes.mean()) if len(sizes) else 1.0
+            self.num_slabs = max(1, int(np.ceil(
+                batch_size * mean / self.max_atoms * 1.06)) + 1)
 
     def __len__(self) -> int:
         n = len(self.ds)
@@ -482,7 +500,10 @@ class DenseLoader:
         return out
 
     def __iter__(self):
-        from gotennet_tpu.graph.dense_batch import collate_dense
+        from gotennet_tpu.graph.dense_batch import (
+            collate_dense,
+            collate_dense_packed,
+        )
         order = np.arange(len(self.ds))
         if self.shuffle:
             self.rng.shuffle(order)
@@ -492,6 +513,23 @@ class DenseLoader:
             else None
         for b_idx in self._shard_batch_indices(len(batches)):
             idx = batches[b_idx]
+            if self.pack:
+                while True:
+                    try:
+                        yield collate_dense_packed(
+                            self.ds.graph_dicts(idx), self.num_slabs,
+                            self.max_atoms, self.mols_per_slab,
+                            y_dim=y_dim, with_forces=self.with_forces)
+                        break
+                    except ValueError as e:
+                        if "slab capacity" not in str(e):
+                            raise
+                        self.num_slabs += max(1, self.num_slabs // 16)
+                        from gotennet_tpu.utils.logging import get_logger
+                        get_logger().warning(
+                            "packed slab capacity overflowed; growing "
+                            "to %d (one recompile)", self.num_slabs)
+                continue
             m = self.max_atoms if not self.bucket else min(
                 self.max_atoms,
                 _round_up(max(8, int(sizes[idx].max())), 8))

@@ -148,6 +148,16 @@ class GotenNetConfig:
     # accumulations stay float32.  float32 (default) is bit-parity with
     # the edge-list path and the reference.
     pair_dtype: Any = jnp.float32
+    # Compute dtype for the per-layer NODE projections (W_q/W_k,
+    # gamma_s, gamma_v, W_vq/W_vk, EQFF) — the steerable [N, L, D]
+    # projections triple the node-matmul volume and f32 matmuls run at
+    # ~1/4 the MXU's bf16 rate, so these dominate the non-kernel device
+    # time at the QM9 headline (profiled: 11.6 ms/step of f32
+    # "convolution fusions" at r05).  bfloat16 runs them at full MXU
+    # rate; parameters, residual streams (h, X, t_ij), LayerNorms and
+    # output heads stay float32.  float32 (default) is bit-parity with
+    # the reference.
+    node_dtype: Any = jnp.float32
     # Dense layout only: run message+aggregate as one fused Pallas
     # kernel (ops/pallas/fused_gata.py) with an analytic Pallas VJP.
     # Keeps the [G,M,M,mult*D] pair tensor in VMEM instead of HBM.
@@ -336,6 +346,7 @@ class GATA(fnn.Module):
         evec_dim = cfg.evec_dim or D
         emlp_dim = cfg.emlp_dim or D
         N = h.shape[0]
+        nd = None if cfg.node_dtype == jnp.float32 else cfg.node_dtype
         dense_kw = dict(weight_init=cfg.weight_init, bias_init=cfg.bias_init)
 
         # optional pre-norms
@@ -345,16 +356,19 @@ class GATA(fnn.Module):
             X = TensorLayerNorm(D, cfg.lmax, trainable=False,
                                 name="tensor_layernorm")(X)
 
-        q = Dense(D, activation=None, **dense_kw, name="W_q")(h)
-        k = Dense(D, activation=None, **dense_kw, name="W_k")(h)
+        q = Dense(D, activation=None, **dense_kw, dtype=nd, name="W_q")(h)
+        k = Dense(D, activation=None, **dense_kw, dtype=nd, name="W_k")(h)
         q = q.reshape(N, H, Dh)
         k = k.reshape(N, H, Dh)
 
-        x_g = Dense(D, activation=act, **dense_kw, name="gamma_s_0")(h)
-        x_g = Dense(mult * D, activation=None, **dense_kw,
+        x_g = Dense(D, activation=act, **dense_kw, dtype=nd,
+                    name="gamma_s_0")(h)
+        x_g = Dense(mult * D, activation=None, **dense_kw, dtype=nd,
                     name="gamma_s_1")(x_g)
-        v = Dense(D, activation=act, **dense_kw, name="gamma_v_0")(h)
-        v = Dense(mult * D, activation=None, **dense_kw, name="gamma_v_1")(v)
+        v = Dense(D, activation=act, **dense_kw, dtype=nd,
+                  name="gamma_v_0")(h)
+        v = Dense(mult * D, activation=None, **dense_kw, dtype=nd,
+                  name="gamma_v_1")(v)
 
         t_attn = Dense(D, activation=act, **dense_kw, name="W_re")(t_ij)
         t_filter = Dense(mult * D, activation=None, **dense_kw,
@@ -414,17 +428,18 @@ class GATA(fnn.Module):
         # ---- HTR edge update ----------------------------------------
         if not self.last_layer and cfg.edge_updates:
             EQ = Dense(evec_dim, use_bias=False, activation=None,
-                       **dense_kw, name="W_vq")(X)  # [N, L, evec]
+                       **dense_kw, dtype=nd, name="W_vq")(X)  # [N, L, evec]
             if cfg.sep_htr:
                 blocks = []
                 for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
                     blocks.append(Dense(
                         evec_dim, use_bias=False, activation=None,
-                        **dense_kw, name=f"W_vk_{l}")(X[:, lo:hi, :]))
+                        **dense_kw, dtype=nd, name=f"W_vk_{l}")(
+                            X[:, lo:hi, :]))
                 EK = jnp.concatenate(blocks, axis=1)
             else:
                 EK = Dense(evec_dim, use_bias=False, activation=None,
-                           **dense_kw, name="W_vk")(X)
+                           **dense_kw, dtype=nd, name="W_vk")(X)
 
             EQ_i = EQ[edge_dst]
             EK_j = EK[edge_src]
@@ -493,15 +508,21 @@ class EQFF(fnn.Module):
         cfg = self.cfg
         act = get_activation(cfg.activation)
         D = cfg.n_atom_basis
+        nd = None if cfg.node_dtype == jnp.float32 else cfg.node_dtype
         dense_kw = dict(weight_init=cfg.weight_init, bias_init=cfg.bias_init)
         X_p = Dense(D, use_bias=False, activation=None, **dense_kw,
-                    name="W_vu")(X)
-        X_pn = jnp.sqrt(jnp.sum(X_p ** 2, axis=-2) + cfg.epsilon)  # [..., D]
+                    dtype=nd, name="W_vu")(X)
+        # the norm reduction accumulates f32 (8 squared bf16 terms lose
+        # ~3 bits otherwise); X_p itself stays in node_dtype
+        X_pn = jnp.sqrt(jnp.sum(X_p.astype(jnp.float32) ** 2, axis=-2)
+                        + cfg.epsilon)  # [..., D]
         ctx = jnp.concatenate([h, X_pn], axis=-1)
-        m = Dense(D, activation=act, **dense_kw, name="gamma_m_0")(ctx)
-        m = Dense(2 * D, activation=None, **dense_kw, name="gamma_m_1")(m)
+        m = Dense(D, activation=act, **dense_kw, dtype=nd,
+                  name="gamma_m_0")(ctx)
+        m = Dense(2 * D, activation=None, **dense_kw, dtype=nd,
+                  name="gamma_m_1")(m)
         m1, m2 = m[..., :D], m[..., D:]
-        return h + m1, X + m2[..., None, :] * X_p
+        return h + m1, X + m2[..., None, :].astype(X.dtype) * X_p
 
 
 class GotenNet(fnn.Module):

@@ -167,6 +167,7 @@ class GATADense(fnn.Module):
         evec_dim = cfg.evec_dim or D
         emlp_dim = cfg.emlp_dim or D
         G, M = h.shape[:2]
+        nd = None if cfg.node_dtype == jnp.float32 else cfg.node_dtype
         dense_kw = dict(weight_init=cfg.weight_init, bias_init=cfg.bias_init)
 
         if cfg.layernorm:
@@ -175,14 +176,18 @@ class GATADense(fnn.Module):
             X = TensorLayerNorm(D, cfg.lmax, trainable=False,
                                 name="tensor_layernorm")(X)
 
-        q = Dense(D, activation=None, **dense_kw, name="W_q")(h)  # [G,M,D]
-        k = Dense(D, activation=None, **dense_kw, name="W_k")(h)
+        q = Dense(D, activation=None, **dense_kw, dtype=nd,
+                  name="W_q")(h)  # [G,M,D]
+        k = Dense(D, activation=None, **dense_kw, dtype=nd, name="W_k")(h)
 
-        x_g = Dense(D, activation=act, **dense_kw, name="gamma_s_0")(h)
-        x_g = Dense(mult * D, activation=None, **dense_kw,
+        x_g = Dense(D, activation=act, **dense_kw, dtype=nd,
+                    name="gamma_s_0")(h)
+        x_g = Dense(mult * D, activation=None, **dense_kw, dtype=nd,
                     name="gamma_s_1")(x_g)
-        v = Dense(D, activation=act, **dense_kw, name="gamma_v_0")(h)
-        v = Dense(mult * D, activation=None, **dense_kw, name="gamma_v_1")(v)
+        v = Dense(D, activation=act, **dense_kw, dtype=nd,
+                  name="gamma_v_0")(h)
+        v = Dense(mult * D, activation=None, **dense_kw, dtype=nd,
+                  name="gamma_v_1")(v)
 
         pd = cfg.pair_dtype  # storage dtype for big per-pair tensors
 
@@ -230,17 +235,18 @@ class GATADense(fnn.Module):
         # ---- HTR edge update (expanded rejection) --------------------
         if not self.last_layer and cfg.edge_updates:
             EQ = Dense(evec_dim, use_bias=False, activation=None,
-                       **dense_kw, name="W_vq")(X)  # [G, M, L, C]
+                       **dense_kw, dtype=nd, name="W_vq")(X)  # [G,M,L,C]
             if cfg.sep_htr:
                 blocks = []
                 for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
                     blocks.append(Dense(
                         evec_dim, use_bias=False, activation=None,
-                        **dense_kw, name=f"W_vk_{l}")(X[..., lo:hi, :]))
+                        **dense_kw, dtype=nd,
+                        name=f"W_vk_{l}")(X[..., lo:hi, :]))
                 EK = jnp.concatenate(blocks, axis=2)
             else:
                 EK = Dense(evec_dim, use_bias=False, activation=None,
-                           **dense_kw, name="W_vk")(X)
+                           **dense_kw, dtype=nd, name="W_vk")(X)
 
             # fused path: flagship grammar (plus norej/gating) runs as
             # one Pallas kernel over the pair axis — z/gt/S/pq/pk/w
@@ -451,6 +457,10 @@ class GotenNetDense(fnn.Module):
         d2 = jnp.sum(vec ** 2, axis=-1)
         eye = jnp.eye(M, dtype=bool)[None]
         both = mask[:, :, None] & mask[:, None, :]
+        if batch.seg is not None:
+            # block-diagonal packing: slots of different molecules in
+            # the same slab never interact (collate_dense_packed)
+            both = both & (batch.seg[:, :, None] == batch.seg[:, None, :])
         adj = both & ~eye & (d2 < cfg.cutoff ** 2)      # non-loop pairs
         cap = cfg.max_num_neighbors
         if cap is not None and cap < M - 1:

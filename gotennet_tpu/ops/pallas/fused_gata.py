@@ -88,9 +88,14 @@ def _pick_graph_block(G: int, M: int, NI: int, D: int,
     per-op overhead for small-M buckets: at QM9's M=24 bucket GB=2
     measured ~30% faster per pair than GB=1 (M=32 stays GB=1 — its
     1024-row slab is already efficient and GB=2 measured no better).
-    Requires tile-aligned shapes (M multiple of 8 sublanes, D multiple
-    of 128 lanes) — Mosaic cannot lower the blocked writes with
-    implicit padding dims; sub-tile shapes keep GB=1."""
+    r05 re-sweep at the node-bf16 operating point confirms 1536: a
+    4096-pair budget (GB=4 at M=32) measured +0.3 ms/step forward-only
+    and +1.3 ms with the backward also blocked at 2048 — the per-graph
+    tile_j/stack flushes grow with GB faster than the dispatch
+    amortisation saves.  Requires tile-aligned shapes (M multiple of 8
+    sublanes, D multiple of 128 lanes) — Mosaic cannot lower the
+    blocked writes with implicit padding dims; sub-tile shapes keep
+    GB=1."""
     if NI != 1 or M % 8 or D % 128:
         return 1
     best = 1
@@ -671,7 +676,9 @@ def _pallas_backward(t_ij, q, k, x_g, v, rl_ij, X, env_signed, scale,
     # Graph blocking stays OFF here: measured at M=24 it wins ~8% in
     # the forward but LOSES ~3.5% in this kernel (the per-graph
     # stack/concat flushes outweigh the dispatch amortisation), so the
-    # backward keeps one graph per grid step.
+    # backward keeps one graph per grid step.  r05 re-confirmed: a
+    # 2048-pair blocked backward (GB=2 at M=32) measured +1 ms/step,
+    # and GB=4 exceeds even a 99M scoped-vmem limit.
     TI = _pick_i_tile(M, max_pairs=2048)
     NI = M // TI
     GB = 1

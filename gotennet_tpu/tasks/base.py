@@ -75,6 +75,13 @@ class Task:
 
     # -- targets ---------------------------------------------------------
     def get_targets(self, batch) -> Dict[str, tuple]:
-        """Map target name -> (values, mask) extracted from the batch."""
-        gm = batch.graph_mask.astype(jnp.float32)[:, None]
-        return {"y": (batch.y[:, :1], gm)}
+        """Map target name -> (values, mask) extracted from the batch.
+        Packed dense batches carry one molecule slot per (slab, local)
+        pair — ``y [G, P, T]`` flattens to the model's ``[G*P]`` graph
+        axis (graph/dense_batch.py flatten_nodes)."""
+        y, gm = batch.y, batch.graph_mask
+        if y.ndim == 3:
+            y = y.reshape(-1, y.shape[-1])
+            gm = gm.reshape(-1)
+        gm = gm.astype(jnp.float32)[:, None]
+        return {"y": (y[:, :1], gm)}

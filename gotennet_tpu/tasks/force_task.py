@@ -60,11 +60,15 @@ class MD17Task(Task):
             activation="silu", derivative=True)
 
     def get_targets(self, batch) -> Dict[str, tuple]:
-        gm = batch.graph_mask.astype(jnp.float32)[:, None]
+        y, gm = batch.y, batch.graph_mask
+        if y.ndim == 3:  # packed dense batches: [G, P, T] molecule slots
+            y = y.reshape(-1, y.shape[-1])
+            gm = gm.reshape(-1)
+        gm = gm.astype(jnp.float32)[:, None]
         # node_mask is [N] (edge/ell) or [G, M] (dense): mask per-atom
         # force rows along a new trailing axis either way
         nm = batch.node_mask.astype(jnp.float32)[..., None]
-        out = {"y": (batch.y[:, :1], gm)}
+        out = {"y": (y[:, :1], gm)}
         if batch.dy is not None:
             out["dy"] = (batch.dy, nm)
         return out

@@ -75,6 +75,7 @@ def _config_to_json(model: GotenModel) -> dict:
     # not architecture — a checkpoint must load on any device topology
     cfg.pop("dtype", None)
     cfg.pop("pair_dtype", None)
+    cfg.pop("node_dtype", None)
     cfg.pop("edge_axis", None)
     head = dataclasses.asdict(model.head)
     head.pop("atomref", None)

@@ -423,3 +423,122 @@ def test_scan_layers_matches_unrolled():
     back = unroll_layer_params(ps, cfg.n_interactions)
     for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(p0)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_node_dtype_bf16_close_to_f32():
+    """node_dtype=bf16 (MXU-rate node projections, PERF.md r05) keeps
+    the same f32 parameter tree and stays within bf16 rounding of the
+    f32 path; residual streams (h, X) remain f32 arrays."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg = GotenNetConfig(n_atom_basis=32, n_interactions=3, lmax=2,
+                         n_rbf=8, num_heads=4)
+    rng = np.random.default_rng(7)
+    graphs = _graphs(rng)
+    db = collate_dense(graphs, 4, 12)
+    m32 = GotenNetDense(cfg)
+    m16 = GotenNetDense(dataclasses.replace(cfg, node_dtype=jnp.bfloat16))
+    params = m32.init(jax.random.PRNGKey(0), db)
+    assert (jax.tree_util.tree_structure(
+        m16.init(jax.random.PRNGKey(0), db))
+        == jax.tree_util.tree_structure(params))
+    h32, X32 = m32.apply(params, db)
+    h16, X16 = m16.apply(params, db)
+    assert h16.dtype == jnp.float32 and X16.dtype == jnp.float32
+    scale_h = float(np.abs(np.asarray(h32)).max())
+    scale_x = float(np.abs(np.asarray(X32)).max())
+    assert np.abs(np.asarray(h16) - np.asarray(h32)).max() < 0.05 * scale_h
+    assert np.abs(np.asarray(X16) - np.asarray(X32)).max() < 0.05 * scale_x
+
+
+def test_dense_packing_matches_unpacked():
+    """Block-diagonal packing (collate_dense_packed): several molecules
+    per M-slot slab with cross-molecule pairs masked must reproduce the
+    unpacked per-molecule outputs exactly — representation, per-graph
+    property, loss, and forces."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gotennet_tpu.graph.dense_batch import (
+        collate_dense_packed,
+        pack_molecules,
+    )
+    from gotennet_tpu.models.model import GotenModel, HeadConfig
+    from gotennet_tpu.models.model import apply_with_forces
+
+    cfg = GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2,
+                         n_rbf=8, num_heads=4, scale_edge=True)
+    rng = np.random.default_rng(11)
+    sizes = (5, 7, 9, 4, 6)
+    graphs = _graphs(rng, sizes=sizes)
+    for i, g in enumerate(graphs):
+        g["y"] = [float(i + 1)]
+        g["dy"] = rng.standard_normal((len(g["z"]), 3)).astype(np.float32)
+
+    db_u = collate_dense(graphs, len(graphs), 12, with_forces=True)
+    P = 3
+    db_p = collate_dense_packed(graphs, num_slabs=3, max_atoms=16,
+                                mols_per_slab=P, with_forces=True)
+    slabs = pack_molecules(sizes, 16, P)
+
+    model = GotenModel(cfg, HeadConfig(kind="atomwise", derivative=True),
+                       layout="dense")
+    params = model.init(jax.random.PRNGKey(0), db_u)
+    out_u = apply_with_forces(model, params, db_u)
+    out_p = apply_with_forces(model, params, db_p)
+
+    # per-molecule property: packed graph axis is slab * P + local
+    offs = np.cumsum([0] + list(sizes))
+    prop_u = np.asarray(out_u["property"])
+    prop_p = np.asarray(out_p["property"])
+    f_u = np.asarray(out_u["forces"]).reshape(len(graphs), 12, 3)
+    f_p = np.asarray(out_p["forces"]).reshape(3, 16, 3)
+    for s, members in enumerate(slabs):
+        off = 0
+        for local, i in enumerate(members):
+            m = sizes[i]
+            np.testing.assert_allclose(
+                prop_p[s * P + local], prop_u[i], rtol=2e-4, atol=2e-5)
+            np.testing.assert_allclose(
+                f_p[s, off:off + m], f_u[i, :m], rtol=2e-3, atol=2e-4)
+            off += m
+
+    # loss over the packed batch equals the unpacked loss (targets
+    # flatten [G, P, T] -> [G*P, T] with the mask excluding empty slots)
+    from gotennet_tpu.tasks.qm9 import QM9Task
+    from gotennet_tpu.train.trainer import make_loss_fn
+    e_model = GotenModel(cfg, HeadConfig(kind="atomwise"), layout="dense")
+    task = QM9Task("U0", dataset_meta={"mean": 0.0, "std": 1.0})
+    loss_fn = make_loss_fn(e_model, task)
+    l_u, _ = loss_fn(params, db_u, None, True)
+    l_p, _ = loss_fn(params, db_p, None, True)
+    np.testing.assert_allclose(float(l_p), float(l_u), rtol=2e-4)
+
+
+def test_dense_loader_pack_covers_dataset():
+    """The packing DenseLoader yields every molecule exactly once with
+    targets attached to the right (slab, local) slots."""
+    from gotennet_tpu.data.dataset import DenseLoader, synthetic_molecules
+
+    ds = synthetic_molecules(37, seed=3, min_atoms=6, max_atoms=24)
+    loader = DenseLoader(ds, batch_size=8, shuffle=True, seed=5,
+                         max_atoms=32, pack=True)
+    seen_y = []
+    for b in loader:
+        assert b.seg is not None
+        gm = np.asarray(b.graph_mask)
+        ys = np.asarray(b.y)
+        seen_y.extend(ys[gm].reshape(-1).tolist())
+        # every real atom slot's seg points at a real molecule slot
+        mask = np.asarray(b.mask)
+        seg = np.asarray(b.seg)
+        for s in range(b.num_graphs):
+            for local in np.unique(seg[s][mask[s]]):
+                assert gm[s, local]
+    assert len(seen_y) == len(ds)
+    np.testing.assert_allclose(sorted(seen_y),
+                               sorted(np.asarray(ds.y).reshape(-1)),
+                               rtol=1e-6)
