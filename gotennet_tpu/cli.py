@@ -112,7 +112,8 @@ def _build_data(cfg: Dict, label: str):
         from gotennet_tpu.data.dataset import DenseLoader
         max_atoms = max((len(z) for z in ds.z), default=8)
         mk = dict(max_atoms=((max_atoms + 7) // 8) * 8,
-                  bucket=dm.get("bucket", False))
+                  bucket=dm.get("bucket", False),
+                  pack=dm.get("pack", False))
         train_loader = DenseLoader(ds.subset(idx_train), dm["batch_size"],
                                    shuffle=True, seed=dm.get("seed", 1),
                                    **mk)
@@ -158,7 +159,8 @@ def _build_data(cfg: Dict, label: str):
 _MODEL_KEYS = {
     "lr", "lr_decay", "lr_patience", "lr_minlr", "lr_warmup_steps",
     "weight_decay", "grad_clip", "scheduler", "cosine_t_max", "ema_rate",
-    "ema_stages", "task_loss", "task_config", "layout", "representation",
+    "ema_stages", "use_ema_in_loss", "task_loss", "task_config", "layout",
+    "representation",
     "output",
 }
 _OUTPUT_KEYS = {"n_hidden", "n_layers", "activation"}
@@ -172,7 +174,7 @@ _DATAMODULE_KEYS = {
     "standardize", "train_size", "val_size", "test_size", "splits",
     "seed", "max_num_neighbors", "prior_model", "normalize_positions",
     "n_molecules", "with_forces", "max_frames", "neighbor_probe",
-    "max_molecules", "bucket", "spatial_sort", "block_rows",
+    "max_molecules", "bucket", "pack", "spatial_sort", "block_rows",
     "min_atoms", "max_atoms", "box",
 }
 
@@ -209,6 +211,7 @@ def _build_trainer_config(cfg: Dict):
         ema_rate=mc.get("ema_rate", 0.0),
         ema_stages=tuple(mc.get("ema_stages",
                                 ("train", "validation"))),
+        use_ema_in_loss=mc.get("use_ema_in_loss", False),
         seed=cfg.get("seed", 1),
         log_every=tr.get("log_every", 50),
         workdir=cfg["workdir"],

@@ -44,7 +44,7 @@ from gotennet_tpu.nn.dense import MLP, Dense
 from gotennet_tpu.nn.norms import TensorLayerNorm
 from gotennet_tpu.ops.activations import get_activation
 from gotennet_tpu.ops.cutoffs import cosine_cutoff
-from gotennet_tpu.ops.rbf import get_rbf
+from gotennet_tpu.ops.rbf import RadialBasis, get_rbf
 from gotennet_tpu.ops.spherical import (
     degree_index_map,
     degree_slices,
@@ -109,6 +109,11 @@ class GotenNetConfig:
     n_rbf: int = 32
     cutoff: float = 5.0
     radial_basis: str = "expnorm"
+    # Learnable radial-basis parameters (reference GaussianRBF /
+    # ExpNormalSmearing ``trainable`` flags, layers.py:307-322,
+    # 714-726): Gaussian lifts offsets+widths, expnorm lifts
+    # means+betas into the parameter tree under 'radial_basis'.
+    trainable_rbf: bool = False
     activation: str = "swish"
     max_z: int = 100
     epsilon: float = 1e-8
@@ -547,7 +552,9 @@ class GotenNet(fnn.Module):
                           (cfg.max_z, D), jnp.float32)
         h = a_na[z]  # [N, D]
 
-        rbf_params, rbf_fn = get_rbf(cfg.radial_basis, cfg.n_rbf, cfg.cutoff)
+        rbf_params, rbf_fn = RadialBasis.make(
+            self, cfg.radial_basis, cfg.n_rbf, cfg.cutoff,
+            trainable=cfg.trainable_rbf)
         phi = rbf_fn(edge_dist, rbf_params)  # [E, n_rbf]
 
         h = NodeInit(cfg, name="node_init")(

@@ -42,7 +42,7 @@ from gotennet_tpu.ops.activations import get_activation
 from gotennet_tpu.ops.cutoffs import cosine_cutoff
 from gotennet_tpu.ops.pallas.fused_gata import make_fused_gata
 from gotennet_tpu.ops.pallas.fused_htr import make_fused_htr
-from gotennet_tpu.ops.rbf import get_rbf
+from gotennet_tpu.ops.rbf import RadialBasis, get_rbf
 from gotennet_tpu.ops.spherical import degree_slices, spherical_harmonics
 
 __all__ = ["GotenNetDense"]
@@ -483,7 +483,9 @@ class GotenNetDense(fnn.Module):
                           (cfg.max_z, D), jnp.float32)
         h = a_na[z]  # [G, M, D]
 
-        rbf_params, rbf_fn = get_rbf(cfg.radial_basis, cfg.n_rbf, cfg.cutoff)
+        rbf_params, rbf_fn = RadialBasis.make(
+            self, cfg.radial_basis, cfg.n_rbf, cfg.cutoff,
+            trainable=cfg.trainable_rbf)
         phi = rbf_fn(dist, rbf_params)  # [G, M, M, R]
 
         h = NodeInitDense(cfg, name="node_init")(z, h, dist, phi,

@@ -39,7 +39,7 @@ from gotennet_tpu.nn.dense import MLP, Dense
 from gotennet_tpu.nn.norms import TensorLayerNorm
 from gotennet_tpu.ops.activations import get_activation
 from gotennet_tpu.ops.cutoffs import cosine_cutoff
-from gotennet_tpu.ops.rbf import get_rbf
+from gotennet_tpu.ops.rbf import RadialBasis, get_rbf
 from gotennet_tpu.ops.spherical import (
     degree_index_map,
     degree_slices,
@@ -626,7 +626,9 @@ class GotenNetELL(fnn.Module):
                           (cfg.max_z, D), jnp.float32)
         h = a_na[z]  # [N, D] (replicated)
 
-        rbf_params, rbf_fn = get_rbf(cfg.radial_basis, cfg.n_rbf, cfg.cutoff)
+        rbf_params, rbf_fn = RadialBasis.make(
+            self, cfg.radial_basis, cfg.n_rbf, cfg.cutoff,
+            trainable=cfg.trainable_rbf)
         phi = rbf_fn(dist, rbf_params)  # [NR, K, R]
 
         h = unshard(NodeInitELL(cfg, name="node_init")(

@@ -51,12 +51,15 @@ class HeadConfig:
     aggregation: Optional[str] = "sum"
     derivative: bool = False
     negative_dr: bool = True
+    # Dipole head: return ||mu|| (the QM9 'mu' target) instead of the
+    # vector (reference Dipole predict_magnitude, outputs.py:418-446).
+    predict_magnitude: bool = True
 
     def __hash__(self):  # atomref array is identity-hashed
         return hash((self.kind, self.n_out, self.n_hidden, self.n_layers,
                      str(self.activation), self.mean, self.stddev,
                      id(self.atomref), self.aggregation, self.derivative,
-                     self.negative_dr))
+                     self.negative_dr, self.predict_magnitude))
 
 
 class GotenModel(fnn.Module):
@@ -118,7 +121,8 @@ class GotenModel(fnn.Module):
         elif hc.kind == "dipole":
             out = Dipole(
                 n_in=self.cfg.n_atom_basis, n_hidden=hc.n_hidden,
-                activation=hc.activation, predict_magnitude=True,
+                activation=hc.activation,
+                predict_magnitude=hc.predict_magnitude,
                 mean=hc.mean, stddev=hc.stddev, name="head")(batch, h, X)
         elif hc.kind == "electronic_spatial_extent":
             out = ElectronicSpatialExtent(

@@ -23,6 +23,7 @@ __all__ = [
     "BesselBasisParams", "bessel_basis",
     "ExpNormalParams", "expnormal_smearing",
     "get_rbf",
+    "RadialBasis",
 ]
 
 
@@ -97,3 +98,44 @@ def get_rbf(name: str, n_rbf: int, cutoff: float):
     if key == "gaussianrbf":
         return GaussianRBFParams.init(n_rbf, cutoff), gaussian_rbf
     raise ValueError(f"Unknown radial basis {name!r}")
+
+
+class RadialBasis:
+    """Flax-compatible RBF resolver: constants by default, learnable
+    parameters with ``trainable=True`` (reference ``GaussianRBF`` /
+    ``ExpNormalSmearing`` ``trainable`` flags, layers.py:307-322 and
+    714-726: Gaussian lifts offsets+widths, exp-normal lifts
+    means+betas; BesselBasis has no trainable parameters).
+
+    Call from inside a flax ``@compact`` method as
+    ``RadialBasis.make(self, cfg)`` — trainable parameters live under a
+    ``radial_basis`` submodule scope so converted reference checkpoints
+    (``representation.radial_basis.means`` etc.) map 1:1."""
+
+    @staticmethod
+    def make(module, name: str, n_rbf: int, cutoff: float,
+             trainable: bool = False):
+        import flax.linen as fnn
+
+        params, fn = get_rbf(name, n_rbf, cutoff)
+        if not trainable:
+            return params, fn
+
+        class _Lift(fnn.Module):
+            @fnn.compact
+            def __call__(self):
+                if isinstance(params, GaussianRBFParams):
+                    return GaussianRBFParams(
+                        self.param("offsets", lambda k: params.offsets),
+                        self.param("widths", lambda k: params.widths))
+                if isinstance(params, ExpNormalParams):
+                    return ExpNormalParams(
+                        self.param("means", lambda k: params.means),
+                        self.param("betas", lambda k: params.betas),
+                        params.cutoff, params.alpha)
+                raise ValueError(
+                    f"radial basis {name!r} has no trainable parameters "
+                    "(reference layers.py:328-358 keeps BesselBasis "
+                    "frequencies as buffers)")
+
+        return _Lift(name="radial_basis", parent=module)(), fn

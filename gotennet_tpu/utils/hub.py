@@ -14,7 +14,8 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["resolve_checkpoint", "download_file", "ALIAS_SIZES"]
+__all__ = ["resolve_checkpoint", "download_file",
+           "download_with_fallback", "ALIAS_SIZES"]
 
 HUB_URL = ("https://huggingface.co/sarpaykent/GotenNet/resolve/main/"
            "pretrained/{task}/{size}/gotennet_{label}.ckpt")
@@ -90,4 +91,54 @@ def resolve_checkpoint(name_or_path: str) -> str:
     dest = os.path.join(_cache_dir(), fname)
     if os.path.exists(dest):
         return dest
-    return download_file(url, dest)
+    return download_with_fallback([url] + _mirror_urls(url), dest)
+
+
+def _mirror_urls(primary: str) -> list:
+    """Additional URL candidates from ``$GOTENNET_TPU_CHECKPOINT_MIRRORS``
+    (comma-separated base URLs; the primary's path after the host is
+    appended).  Mirrors the reference's urls_to_try list
+    (file.py:165-241, HF primary + any extras)."""
+    bases = os.environ.get("GOTENNET_TPU_CHECKPOINT_MIRRORS", "")
+    if not bases:
+        return []
+    from urllib.parse import urlparse
+    path = urlparse(primary).path.lstrip("/")
+    return [b.rstrip("/") + "/" + path for b in bases.split(",") if b]
+
+
+def download_with_fallback(urls: list, dest: str) -> str:
+    """Try each URL in order — HEAD accessibility check, download,
+    non-empty verification, cleanup of empty/partial files — and fall
+    through to the next on any failure, raising only after every source
+    fails (reference download_checkpoint's retry-over-URL loop,
+    file.py:277-367)."""
+    import requests
+
+    from gotennet_tpu.utils.logging import get_logger
+    log = get_logger()
+
+    last_error = None
+    for i, url in enumerate(urls):
+        log.info("download attempt %d/%d: %s", i + 1, len(urls), url)
+        try:
+            head = requests.head(url, allow_redirects=True, timeout=10)
+            head.raise_for_status()
+            download_file(url, dest)
+            if not os.path.exists(dest):
+                raise FileNotFoundError("file missing after download")
+            if os.path.getsize(dest) == 0:
+                os.remove(dest)
+                raise FileNotFoundError("downloaded file is empty")
+            return dest
+        except Exception as e:  # noqa: BLE001 — every failure falls through
+            last_error = e
+            log.warning("download from %s failed: %s", url, e)
+            if os.path.exists(dest) and os.path.getsize(dest) == 0:
+                try:
+                    os.remove(dest)
+                except OSError:
+                    pass
+    msg = (f"failed to download {os.path.basename(dest)} from all "
+           f"{len(urls)} source(s): {', '.join(urls)}")
+    raise FileNotFoundError(msg) from last_error

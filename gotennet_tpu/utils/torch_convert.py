@@ -58,6 +58,16 @@ def _mapping(cfg: GotenNetConfig):
     info = parse_edge_updates(cfg.edge_updates)
     m = []
     m.append(("A_na.weight", ("A_na",), ""))
+    if cfg.trainable_rbf:
+        # reference GaussianRBF(trainable=True) lifts offsets+widths,
+        # ExpNormalSmearing(trainable=True) lifts means+betas
+        # (layers.py:307-322, 714-726); our RadialBasis.make mirrors
+        # the names under the 'radial_basis' scope
+        key = cfg.radial_basis.lower().replace("-", "").replace("_", "")
+        fields = (("offsets", "widths") if key == "gaussianrbf"
+                  else ("means", "betas"))
+        for f in fields:
+            m.append((f"radial_basis.{f}", ("radial_basis", f), ""))
     m.append(("node_init.A_nbr.weight", ("node_init", "A_nbr"), ""))
     # reference W_ndp is a 1-layer MLP; ours is a single Dense
     m += _dense("node_init.W_ndp.dense_layers.0", ("node_init", "W_ndp"))
