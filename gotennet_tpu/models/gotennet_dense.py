@@ -360,11 +360,6 @@ class GATADense(fnn.Module):
             attn = fnn.Dropout(cfg.attn_dropout, name="attn_dropout")(
                 attn, deterministic=self.deterministic)
 
-        if cfg.aggr != "add":
-            raise NotImplementedError(
-                "dense layout implements aggr='add' (the shipped config); "
-                "use the edge-list model for mean/max")
-
         # ---- pair features + aggregation over j ----------------------
         env = (cosine_cutoff(dist, cfg.cutoff) * pair_mask).astype(pd)
         # o[g,i,j,:] = spatial + sea, materialized once per layer.
@@ -378,41 +373,55 @@ class GATADense(fnn.Module):
         o = (t_filter * x_g.astype(pd)[:, None, :, :] * env[..., None]
              + attn_full * v.astype(pd)[:, None, :, :])
 
+        # reference GATA.aggregate supports add/mean/max
+        # (gotennet.py:613-657).  mean divides the add result by each
+        # destination's real-pair count; max reduces masked elementwise
+        # with empty-neighborhood slots zeroed (the scatter-reduce
+        # convention the edge layout's _segment_aggregate follows).
+        counts = jnp.sum(pair_mask.astype(jnp.float32), axis=2)  # [G, i]
+        denom = jnp.maximum(counts, 1.0)[..., None]
+        neg = jnp.asarray(-3e38, jnp.float32)
+
+        def aggr_j(contrib):
+            """[G, i, j, D] pair contributions -> [G, i, D]."""
+            if cfg.aggr == "max":
+                masked = jnp.where(pair_mask[..., None],
+                                   contrib.astype(jnp.float32), neg)
+                out = jnp.max(masked, axis=2)
+                return jnp.where(counts[..., None] > 0, out, 0.0)
+            s = jnp.sum(contrib.astype(jnp.float32), axis=2)
+            return s / denom if cfg.aggr == "mean" else s
+
         o_s = o[..., :D]
-        d_h = jnp.sum(o_s.astype(jnp.float32), axis=2)
+        d_h = aggr_j(o_s)
 
         # Steerable updates as per-m multiply-reduce over the j axis.
         # dot_general forms ('gijm,gijd->gimd') force XLA to relayout
         # operands so the batch dim leads (profiled: ~40% of the
         # chunked step in layout copies); the explicit elementwise
         # multiply + axis-2 sum fuses with no data movement.  m ranges
-        # over at most (lmax+1)^2-1 static values.
+        # over at most (lmax+1)^2-1 static values.  For add/mean the
+        # dir and tensor terms reduce separately (linear); max must
+        # reduce their SUM jointly, like the reference's scatter-max
+        # over complete per-edge messages.
         rl_p = rl_ij.astype(pd)
         X_p = X.astype(pd)
-        off = D
+        linear = cfg.aggr in ("add", "mean")
+        off_d = D
+        off_t = off_d + (cfg.lmax if cfg.sep_dir else 1) * D
         dX_cols = []
         for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
-            if cfg.sep_dir:
-                o_d_l = o[..., off + l * D: off + (l + 1) * D]
-            else:
-                o_d_l = o[..., off: off + D]
+            o_d_l = o[..., off_d + (l * D if cfg.sep_dir else 0):
+                      off_d + (l * D if cfg.sep_dir else 0) + D]
+            o_t_l = o[..., off_t + (l * D if cfg.sep_tensor else 0):
+                      off_t + (l * D if cfg.sep_tensor else 0) + D]
             for m in range(lo, hi):
-                dX_cols.append(jnp.sum(
-                    (rl_p[..., m:m + 1] * o_d_l).astype(jnp.float32),
-                    axis=2))
-        off += (cfg.lmax if cfg.sep_dir else 1) * D
-        idx = 0
-        for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
-            if cfg.sep_tensor:
-                o_t_l = o[..., off + l * D: off + (l + 1) * D]
-            else:
-                o_t_l = o[..., off: off + D]
-            for m in range(lo, hi):
-                contrib = jnp.sum(
-                    (X_p[:, None, :, m, :] * o_t_l).astype(jnp.float32),
-                    axis=2)
-                dX_cols[idx] = dX_cols[idx] + contrib
-                idx += 1
+                dir_c = rl_p[..., m:m + 1] * o_d_l
+                ten_c = X_p[:, None, :, m, :] * o_t_l
+                if linear:
+                    dX_cols.append(aggr_j(dir_c) + aggr_j(ten_c))
+                else:
+                    dX_cols.append(aggr_j(dir_c + ten_c))
         return d_h, jnp.stack(dX_cols, axis=2)  # dX: [G, M, L, D]
 
 

@@ -86,6 +86,20 @@ class SchnetMLP(fnn.Module):
                      name=f"dense_{len(dims) - 2}")(x)
 
 
+def _safe_norm(v: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """L2 norm with exact forward AND zero (not NaN) gradient at v=0.
+
+    Padded node/graph slots carry exactly-zero vectors; plain
+    ``jnp.linalg.norm`` there backpropagates 0/0=NaN which poisons the
+    whole gradient even though the slot's cotangent is zero (NaN*0).
+    The reference never pads (PyG dynamic shapes, outputs.py:82,463),
+    so this is a static-shape necessity, not a math change: real rows
+    are untouched."""
+    n2 = jnp.sum(v * v, axis=axis)
+    nonzero = n2 > 0
+    return jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, n2, 1.0)), 0.0)
+
+
 class GatedEquivariantBlock(fnn.Module):
     """PaiNN-style gated block (reference outputs.py:24-92): mixes
     vector channels with two bias-free linear maps, feeds [s ; ||V||]
@@ -105,7 +119,7 @@ class GatedEquivariantBlock(fnn.Module):
         vmix = Dense(2 * self.n_vout, use_bias=False, activation=None,
                      name="mix_vectors")(vectors)  # [N, 3, 2*vout]
         v_V, v_W = vmix[..., :self.n_vout], vmix[..., self.n_vout:]
-        v_Vn = jnp.linalg.norm(v_V, axis=-2)  # [N, vout]
+        v_Vn = _safe_norm(v_V, axis=-2)  # [N, vout]
         ctx = jnp.concatenate([scalars, v_Vn], axis=-1)
         x = Dense(self.n_hidden, activation=act, name="scalar_net_0")(ctx)
         x = Dense(self.n_sout + self.n_vout, activation=None,
@@ -190,7 +204,7 @@ class Dipole(fnn.Module):
         y_vector = segment_sum(l1, batch.node_graph, batch.num_graphs,
                                batch.node_mask)
         if self.predict_magnitude:
-            y = jnp.linalg.norm(y, axis=1, keepdims=True)
+            y = _safe_norm(y, axis=1)[:, None]
         return {"property": y, "property_vector": y_vector}
 
 

@@ -53,7 +53,11 @@ def cosine_scale(step: int, t_max: int, eta_min_ratio: float = 0.0) -> float:
 
 @dataclasses.dataclass
 class PlateauState:
-    """Host-side ReduceLROnPlateau state (mode='min')."""
+    """Host-side ReduceLROnPlateau state (mode='min', rel threshold) —
+    exact torch.optim.lr_scheduler.ReduceLROnPlateau semantics (the
+    reference's scheduler, goten_model.py:528-539): improvement means
+    ``metric < best * (1 - threshold)`` with torch's default rel
+    threshold 1e-4; ``num_bad > patience`` reduces and resets."""
 
     factor: float = 0.8
     patience: int = 15
@@ -61,12 +65,17 @@ class PlateauState:
     best: float = float("inf")
     num_bad: int = 0
     scale: float = 1.0
+    threshold: float = 1e-4
 
 
 def plateau_update(state: PlateauState, metric: float,
                    base_lr: float) -> PlateauState:
     """Advance the plateau scheduler by one validation epoch."""
-    if metric < state.best:
+    if math.isinf(state.best):
+        better = metric < state.best
+    else:
+        better = metric < state.best * (1.0 - state.threshold)
+    if better:
         return dataclasses.replace(state, best=metric, num_bad=0)
     num_bad = state.num_bad + 1
     if num_bad > state.patience:

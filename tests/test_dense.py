@@ -542,3 +542,34 @@ def test_dense_loader_pack_covers_dataset():
     np.testing.assert_allclose(sorted(seen_y),
                                sorted(np.asarray(ds.y).reshape(-1)),
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize("aggr", ["mean", "max"])
+def test_dense_aggr_mean_max_matches_edge_list(aggr):
+    """GATA.aggregate mean/max (reference gotennet.py:613-657) in the
+    dense layout: mean divides by real-pair counts, max reduces the
+    complete per-pair message (dir + tensor terms jointly) — both must
+    match the edge layout's segment reductions."""
+    cfg = GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2,
+                         n_rbf=8, num_heads=4, aggr=aggr)
+    rng = np.random.default_rng(17)
+    graphs = _graphs(rng)
+    eb = collate_graphs(graphs, 32, 256, 4, cutoff=cfg.cutoff,
+                        max_num_neighbors=32)
+    db = collate_dense(graphs, 4, 12)
+    edge_model = GotenNet(cfg)
+    dense_model = GotenNetDense(cfg)
+    params = edge_model.init(jax.random.PRNGKey(0), eb,
+                             method=GotenNet.from_batch)
+    h_e, X_e = edge_model.apply(params, eb, method=GotenNet.from_batch)
+    h_d, X_d = dense_model.apply(params, db)
+    h_e, X_e = np.asarray(h_e), np.asarray(X_e)
+    h_d, X_d = np.asarray(h_d), np.asarray(X_d)
+    off = 0
+    for g, gr in enumerate(graphs):
+        m = len(gr["z"])
+        np.testing.assert_allclose(h_d[g, :m], h_e[off:off + m],
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(X_d[g, :m], X_e[off:off + m],
+                                   rtol=2e-4, atol=2e-5)
+        off += m

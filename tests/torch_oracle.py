@@ -130,6 +130,51 @@ def _scatter_aggr(aggr, values, seg, n):
     raise ValueError(aggr)
 
 
+def _torch_spherical_harmonics(vec, lmax):
+    """Torch translation of ops/spherical.spherical_harmonics (the same
+    semi-normalized Legendre + azimuthal recurrence, validated against
+    scipy in tests/test_spherical.py) so the oracle is differentiable
+    w.r.t. positions for force-training parity."""
+    import math as _math
+
+    def _dfact(n):
+        out = 1.0
+        while n > 1:
+            out *= n
+            n -= 2
+        return out
+
+    x, y, z = vec[..., 0], vec[..., 1], vec[..., 2]
+    r2 = x * x + y * y + z * z
+    A = [torch.ones_like(x)]
+    B = [torch.zeros_like(x)]
+    for m in range(1, lmax + 1):
+        A.append(z * A[m - 1] - x * B[m - 1])
+        B.append(x * A[m - 1] + z * B[m - 1])
+    P = {}
+    for m in range(0, lmax + 1):
+        P.setdefault(m, {})[m] = torch.full_like(x, _dfact(2 * m - 1))
+        if m + 1 <= lmax:
+            P.setdefault(m + 1, {})[m] = (2 * m + 1) * y * P[m][m]
+        for l in range(m + 2, lmax + 1):
+            P.setdefault(l, {})[m] = (
+                (2 * l - 1) * y * P[l - 1][m]
+                - (l - 1 + m) * r2 * P[l - 2][m]) / (l - m)
+    comps = []
+    for l in range(1, lmax + 1):
+        c_l = 1.0 if l <= 2 else _math.sqrt(2 * l + 1)
+        for m in range(l, 0, -1):
+            n_lm = _math.sqrt(2.0 * _math.factorial(l - m)
+                              / _math.factorial(l + m))
+            comps.append((c_l * n_lm) * P[l][m] * B[m])
+        comps.append(c_l * P[l][0])
+        for m in range(1, l + 1):
+            n_lm = _math.sqrt(2.0 * _math.factorial(l - m)
+                              / _math.factorial(l + m))
+            comps.append((c_l * n_lm) * P[l][m] * A[m])
+    return torch.stack(comps, dim=-1)
+
+
 def reference_forward(sd, cfg, z, pos, edge_src, edge_dst):
     """Reference GotenNet forward (h, X) on one flat graph batch.
 
@@ -140,13 +185,13 @@ def reference_forward(sd, cfg, z, pos, edge_src, edge_dst):
             only, destination = center, self-loops included).
     """
     from gotennet_tpu.models.gotennet import parse_edge_updates
-    from gotennet_tpu.ops.spherical import spherical_harmonics
-    import jax.numpy as jnp
-
     assert cfg.activation in ("swish", "silu")
     info = parse_edge_updates(cfg.edge_updates)
     torch_z = torch.as_tensor(np.asarray(z), dtype=torch.long)
-    pos = torch.as_tensor(np.asarray(pos), dtype=torch.float32)
+    # pass tensors through untouched so autograd w.r.t. positions
+    # (force-training oracles) flows into the geometry
+    if not isinstance(pos, torch.Tensor):
+        pos = torch.as_tensor(np.asarray(pos), dtype=torch.float32)
     src = torch.as_tensor(np.asarray(edge_src), dtype=torch.long)
     dst = torch.as_tensor(np.asarray(edge_dst), dtype=torch.long)
     n = pos.shape[0]
@@ -181,11 +226,12 @@ def reference_forward(sd, cfg, z, pos, edge_src, edge_dst):
     # EdgeInit
     t = (h[dst] + h[src]) * _lin(phi, sd, "edge_init.W_erp")
 
-    # geometry
-    vec_n = vec.clone()
-    vec_n[nonloop] = vec[nonloop] / d[nonloop, None]
-    rl = torch.as_tensor(np.asarray(
-        spherical_harmonics(jnp.asarray(vec_n.numpy()), cfg.lmax)))
+    # geometry (torch-differentiable so force-training oracles can
+    # autograd through the spherical harmonics)
+    vec_n = torch.where(nonloop[:, None],
+                        vec / torch.where(nonloop, d, torch.ones_like(d)
+                                          )[:, None], vec)
+    rl = _torch_spherical_harmonics(vec_n, cfg.lmax)
     counts = _scatter_add(torch.ones_like(d), src, n)
     n_edges = counts[src]
 
