@@ -195,6 +195,16 @@ class GotenNetConfig:
     # True explicitly if differentiating the bare representation
     # w.r.t. positions outside GotenModel.
     pos_grads: Optional[bool] = None
+    # Dense layout: evaluate each projection GROUP as one wide matmul
+    # (W_q|W_k|gamma_s_0|gamma_v_0 concatenated; gamma_s_1/gamma_v_1
+    # stacked; W_vq + per-degree W_vk over-wide).  Identical math and
+    # parameter tree — kernels concatenate at trace time — but one MXU
+    # dispatch per group instead of one per projection, which matters
+    # because the per-chunk node matmuls are dispatch/weight-load-bound
+    # at QM9 shapes (PERF.md round 5).  f32-bit-parity caveat: wider
+    # matmuls may tile differently, so outputs can differ from the
+    # per-projection path by normal f32 reassociation noise.
+    merge_proj: bool = True
     # Roll the homogeneous (GATA+EQFF) layers into one jax.lax.scan
     # with layer-stacked parameters instead of unrolling them in the
     # traced graph (the last layer — the only structurally different

@@ -104,11 +104,14 @@ class _LinearLeaf(fnn.Module):
     in_features: int
     weight_init: str
     bias_init: str
+    use_bias: bool = True
 
     @fnn.compact
     def __call__(self):
         kernel = self.param("kernel", get_weight_init(self.weight_init),
                             (self.in_features, self.features), jnp.float32)
+        if not self.use_bias:
+            return kernel, None
         bias = self.param("bias", get_weight_init(self.bias_init),
                           (self.features,), jnp.float32)
         return kernel, bias
@@ -123,12 +126,13 @@ class _LinearParams(fnn.Module):
     in_features: int
     weight_init: str
     bias_init: str
+    use_bias: bool = True
 
     @fnn.compact
     def __call__(self):
         return _LinearLeaf(self.features, self.in_features,
                            self.weight_init, self.bias_init,
-                           name="linear")()
+                           use_bias=self.use_bias, name="linear")()
 
 
 class _MLPLayerParams(fnn.Module):
@@ -176,18 +180,48 @@ class GATADense(fnn.Module):
             X = TensorLayerNorm(D, cfg.lmax, trainable=False,
                                 name="tensor_layernorm")(X)
 
-        q = Dense(D, activation=None, **dense_kw, dtype=nd,
-                  name="W_q")(h)  # [G,M,D]
-        k = Dense(D, activation=None, **dense_kw, dtype=nd, name="W_k")(h)
+        if cfg.merge_proj:
+            # One MXU dispatch per projection GROUP instead of one per
+            # projection: kernels concatenate/stack at trace time (the
+            # concats are loop-invariant, XLA hoists them out of the
+            # accumulation scan) and the parameter tree is unchanged —
+            # checkpoints interchangeable with the per-projection path.
+            # At the QM9 operating point the per-chunk node matmuls are
+            # dispatch/weight-load-bound ([~256, D] rows), so fewer,
+            # wider matmuls win (PERF.md round 5).
+            cd = nd or jnp.float32
+            wq, bq = _LinearParams(D, D, **dense_kw, name="W_q")()
+            wk, bk = _LinearParams(D, D, **dense_kw, name="W_k")()
+            ws0, bs0 = _LinearParams(D, D, **dense_kw, name="gamma_s_0")()
+            wv0, bv0 = _LinearParams(D, D, **dense_kw, name="gamma_v_0")()
+            w1 = jnp.concatenate([wq, wk, ws0, wv0], axis=1).astype(cd)
+            b1 = jnp.concatenate([bq, bk, bs0, bv0]).astype(cd)
+            y1 = h.astype(cd) @ w1 + b1
+            q, k = y1[..., :D], y1[..., D:2 * D]
+            s0 = act(y1[..., 2 * D:3 * D])
+            v0 = act(y1[..., 3 * D:])
+            ws1, bs1 = _LinearParams(mult * D, D, **dense_kw,
+                                     name="gamma_s_1")()
+            wv1, bv1 = _LinearParams(mult * D, D, **dense_kw,
+                                     name="gamma_v_1")()
+            y2 = jnp.einsum("sgmd,sde->sgme", jnp.stack([s0, v0]),
+                            jnp.stack([ws1, wv1]).astype(cd))
+            y2 = y2 + jnp.stack([bs1, bv1]).astype(cd)[:, None, None, :]
+            x_g, v = y2[0], y2[1]
+        else:
+            q = Dense(D, activation=None, **dense_kw, dtype=nd,
+                      name="W_q")(h)  # [G,M,D]
+            k = Dense(D, activation=None, **dense_kw, dtype=nd,
+                      name="W_k")(h)
 
-        x_g = Dense(D, activation=act, **dense_kw, dtype=nd,
-                    name="gamma_s_0")(h)
-        x_g = Dense(mult * D, activation=None, **dense_kw, dtype=nd,
-                    name="gamma_s_1")(x_g)
-        v = Dense(D, activation=act, **dense_kw, dtype=nd,
-                  name="gamma_v_0")(h)
-        v = Dense(mult * D, activation=None, **dense_kw, dtype=nd,
-                  name="gamma_v_1")(v)
+            x_g = Dense(D, activation=act, **dense_kw, dtype=nd,
+                        name="gamma_s_0")(h)
+            x_g = Dense(mult * D, activation=None, **dense_kw, dtype=nd,
+                        name="gamma_s_1")(x_g)
+            v = Dense(D, activation=act, **dense_kw, dtype=nd,
+                      name="gamma_v_0")(h)
+            v = Dense(mult * D, activation=None, **dense_kw, dtype=nd,
+                      name="gamma_v_1")(v)
 
         pd = cfg.pair_dtype  # storage dtype for big per-pair tensors
 
@@ -234,18 +268,48 @@ class GATADense(fnn.Module):
 
         # ---- HTR edge update (expanded rejection) --------------------
         if not self.last_layer and cfg.edge_updates:
-            EQ = Dense(evec_dim, use_bias=False, activation=None,
-                       **dense_kw, dtype=nd, name="W_vq")(X)  # [G,M,L,C]
-            if cfg.sep_htr:
+            E_ = evec_dim
+            if cfg.merge_proj:
+                # W_vq and every per-degree W_vk in ONE over-wide matmul
+                # [D, (1+lmax)*E]; each degree's EK rows then slice their
+                # own block.  The wasted columns ((lmax-1)/2 of this op's
+                # FLOPs at lmax=2) are far cheaper than 1+lmax separate
+                # dispatches on [G*M*L, D]-row matmuls — and the flat
+                # form needs no batched-dot relayout of X.
+                cd = nd or jnp.float32
+                wvq = _LinearParams(E_, D, **dense_kw, use_bias=False,
+                                    name="W_vq")()[0]
+                if cfg.sep_htr:
+                    wvks = [_LinearParams(E_, D, **dense_kw, use_bias=False,
+                                          name=f"W_vk_{l}")()[0]
+                            for l in range(cfg.lmax)]
+                else:
+                    wvks = [_LinearParams(E_, D, **dense_kw, use_bias=False,
+                                          name="W_vk")()[0]]
+                wall = jnp.concatenate([wvq] + wvks, axis=1).astype(cd)
+                y = X.astype(cd) @ wall  # [G, M, L, (1+n_vk)*E]
+                EQ = y[..., :E_]
+                if cfg.sep_htr:
+                    EK = jnp.concatenate(
+                        [y[:, :, lo:hi, (1 + l) * E_:(2 + l) * E_]
+                         for l, (lo, hi) in enumerate(degree_slices(cfg.lmax))],
+                        axis=2)
+                else:
+                    EK = y[..., E_:2 * E_]
+            elif cfg.sep_htr:
+                EQ = Dense(E_, use_bias=False, activation=None,
+                           **dense_kw, dtype=nd, name="W_vq")(X)  # [G,M,L,C]
                 blocks = []
                 for l, (lo, hi) in enumerate(degree_slices(cfg.lmax)):
                     blocks.append(Dense(
-                        evec_dim, use_bias=False, activation=None,
+                        E_, use_bias=False, activation=None,
                         **dense_kw, dtype=nd,
                         name=f"W_vk_{l}")(X[..., lo:hi, :]))
                 EK = jnp.concatenate(blocks, axis=2)
             else:
-                EK = Dense(evec_dim, use_bias=False, activation=None,
+                EQ = Dense(E_, use_bias=False, activation=None,
+                           **dense_kw, dtype=nd, name="W_vq")(X)
+                EK = Dense(E_, use_bias=False, activation=None,
                            **dense_kw, dtype=nd, name="W_vk")(X)
 
             # fused path: flagship grammar (plus norej/gating) runs as

@@ -573,3 +573,48 @@ def test_dense_aggr_mean_max_matches_edge_list(aggr):
         np.testing.assert_allclose(X_d[g, :m], X_e[off:off + m],
                                    rtol=2e-4, atol=2e-5)
         off += m
+
+
+def test_merge_proj_matches_per_projection():
+    """merge_proj=True (grouped wide matmuls, PERF.md round 5) computes
+    the same function as the per-projection path: identical init
+    (values, not just structure — same param paths => same RNG keys),
+    matching outputs and parameter gradients."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    batch = collate_dense(_graphs(rng), 4, 12)
+    for kw in (dict(), dict(sep_htr=False),
+               # evec_dim != D needs a lin_w projection back to D
+               # (same constraint as the reference's gamma_w)
+               dict(evec_dim=16, edge_updates="gated_linw_mlp")):
+        cfg = GotenNetConfig(n_atom_basis=32, n_interactions=2, lmax=2,
+                             n_rbf=8, num_heads=4, merge_proj=True, **kw)
+        cfg0 = dataclasses.replace(cfg, merge_proj=False)
+        m1, m0 = GotenNetDense(cfg), GotenNetDense(cfg0)
+        p1 = m1.init(jax.random.PRNGKey(7), batch)
+        p0 = m0.init(jax.random.PRNGKey(7), batch)
+        assert jax.tree.structure(p1) == jax.tree.structure(p0)
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p0)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        h1, X1 = m1.apply(p1, batch)
+        h0, X0 = m0.apply(p0, batch)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h0),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(X1), np.asarray(X0),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(m):
+            def f(p):
+                h, X = m.apply(p, batch)
+                return jnp.sum(h ** 2) + jnp.sum(X ** 2)
+            return f
+
+        g1 = jax.grad(loss(m1))(p1)
+        g0 = jax.grad(loss(m0))(p0)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
