@@ -27,7 +27,7 @@ BENCH_LAYOUT=dense|edge|ell
 scatter/segment path; 'ell' is padded [N,K] neighbor rows),
 BENCH_PAIR_DTYPE=bf16|f32 (default bf16:
 pair-tensor storage dtype; matmul accumulation is always f32),
-BENCH_CHUNK (default 8): graphs per gradient-accumulation chunk —
+BENCH_CHUNK (default 16): graphs per gradient-accumulation chunk —
 the optimizer still steps once per full batch; small chunks keep
 pair tensors VMEM-resident (measured optimum ~4-8),
 BENCH_DATASET=qm9|md22|large|xl (qm9: 12-29-atom molecules, batch
@@ -370,7 +370,11 @@ def main():
         batch_size = int(os.environ.get("BENCH_BATCH", 2))
         default_chunk = 1
     else:
-        default_chunk = 8
+        # train: 16-graph chunks overtook 8 once merge_proj + the
+        # SH-assembly fix cut the per-chunk dispatch overhead (42.8 vs
+        # 43.4 ms; pre-merge the pair was a tie at 44.8/44.9 — PERF.md
+        # round 5).  eval measured best at 8 (12.2 ms vs 13.1 at 32).
+        default_chunk = 16 if mode == "train" else 8
     if layout == "ell" and dataset == "md22":
         # fused-ELL node tables are VMEM-resident: ~120-atom frames
         # hold to ~4 frames (N~480) per accumulation chunk

@@ -130,4 +130,10 @@ def spherical_harmonics(vec: jnp.ndarray, lmax: int) -> jnp.ndarray:
             n_lm = math.sqrt(
                 2.0 * math.factorial(l - m) / math.factorial(l + m))
             comps.append((c_l * n_lm) * P[l][m] * A[m])
-    return jnp.stack(comps, axis=-1)
+    # Assemble on a LEADING axis, then move it last: stacking scalar
+    # components directly on axis -1 concatenates [..., 1] slivers
+    # whose TPU layout pads the single live lane to a full 128-lane
+    # tile (profiled ~0.8 ms/step of concatenate at the QM9 headline);
+    # the leading-axis concat copies full tiles and the single
+    # transpose fuses with consumers.
+    return jnp.moveaxis(jnp.stack(comps, axis=0), 0, -1)
