@@ -548,9 +548,14 @@ class GotenNetDense(fnn.Module):
             rank = jnp.argsort(order, axis=-1, stable=True)
             adj = adj & (rank < cap)
         pair_mask = adj | (eye & mask[:, :, None] & mask[:, None, :])
-        dist = jnp.where(adj, jnp.sqrt(jnp.where(adj, d2, 1.0)), 0.0)
-        vec_n = jnp.where(adj[..., None],
-                          vec / jnp.where(adj, dist, 1.0)[..., None], 0.0)
+        # rsqrt-based normalization: one [G, M, M] reciprocal feeds the
+        # [..., 3] broadcast multiply — the divide form materialized a
+        # [G, M^2, 1] select whose single live lane pads to a full
+        # 128-lane tile (profiled ~0.6 ms/step of select fusions)
+        d2_safe = jnp.where(adj, d2, 1.0)
+        dist = jnp.where(adj, jnp.sqrt(d2_safe), 0.0)
+        inv = jnp.where(adj, jax.lax.rsqrt(d2_safe), 0.0)
+        vec_n = vec * inv[..., None]
 
         a_na = self.param("A_na", _zero_padded_embed_init,
                           (cfg.max_z, D), jnp.float32)
